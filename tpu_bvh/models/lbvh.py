@@ -1,0 +1,93 @@
+"""LBVH builders (two-pass Karras and single-pass Apetrei-equivalent).
+
+TPU-native re-expressions of the reference pipelines
+`/root/reference/src/TwoPassLbvh.cpp:17-196` and
+`/root/reference/src/SinglePassLbvh.cpp:17-183`: one pure jitted function per
+builder — upload/readback, per-phase kernel compiles, and mid-build host
+validation round-trips all disappear; validation runs jit-external on the
+returned arrays (see tpu_bvh.utils.validate).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import aabb as A
+from ..ops import extents, morton, radix_tree, refit, sort
+from ..types import Bvh2, PrimRefs
+
+I32 = jnp.int32
+
+
+def prim_refs_from_triangles(tris) -> PrimRefs:
+    """Identity PrimRef generation (1 ref per triangle) — the reference's
+    default early-split-clipping path with saMax=FltMax
+    (`TwoPassLbvh.cpp:22-32`, `Utility.cpp:456-538`)."""
+    mn, mx = A.triangle_aabbs(tris)
+    n = tris.shape[0]
+    return PrimRefs(aabb_min=mn, aabb_max=mx, prim_idx=jnp.arange(n, dtype=I32))
+
+
+def _sorted_leaf_order(refs: PrimRefs, use_extended: bool):
+    """extents -> Morton codes -> sort: the shared front half of every
+    builder (`TwoPassLbvh.cpp:35-89`)."""
+    scene_min, scene_max = extents.scene_extents(refs.aabb_min, refs.aabb_max)
+    ext = scene_max - scene_min
+    centroids = A.center(refs.aabb_min, refs.aabb_max)
+    norm = morton.normalize_centroids(centroids, scene_min, ext)
+    if use_extended:
+        codes = morton.extended_morton30(norm, ext)
+    else:
+        codes = morton.morton30(norm)
+    order = jnp.arange(refs.prim_idx.shape[0], dtype=I32)
+    sorted_codes, sorted_pos = sort.sort_pairs(codes, order)
+    return sorted_codes, sorted_pos
+
+
+def _assemble(refs: PrimRefs, sorted_pos, left, right, first, last, root):
+    """Fill the node SoA: leaves in sorted order (leaf slot n-1+i holds the
+    i-th sorted PrimRef, `TwoPassLbvhKernel.h:164-194`), internal AABBs from
+    the sparse-table range refit."""
+    n = refs.prim_idx.shape[0]
+    leaf_min = refs.aabb_min[sorted_pos]
+    leaf_max = refs.aabb_max[sorted_pos]
+    leaf_prim = refs.prim_idx[sorted_pos]
+
+    int_min, int_max = refit.refit_ranges(leaf_min, leaf_max, first, last)
+    node_min = jnp.concatenate([int_min, leaf_min], axis=0)
+    node_max = jnp.concatenate([int_max, leaf_max], axis=0)
+    left = left.at[n - 1 :].set(leaf_prim)
+    return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
+
+
+@partial(jax.jit, static_argnames=("use_extended",))
+def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
+    """Karras two-pass LBVH (`TwoPassLbvh.cpp:17-152`). Root is node 0."""
+    refs = prim_refs_from_triangles(tris)
+    return build_two_pass_refs(refs, use_extended=use_extended)
+
+
+@partial(jax.jit, static_argnames=("use_extended",))
+def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
+    codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
+    left, right, _parent, first, last = radix_tree.karras_topology(codes)
+    return _assemble(refs, sorted_pos, left, right, first, last, jnp.zeros((), I32))
+
+
+@partial(jax.jit, static_argnames=("use_extended",))
+def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
+    """Apetrei-style single-pass LBVH (`SinglePassLbvh.cpp:17-183`) — same
+    tree, split-position node layout, root index data-dependent (the
+    reference reads it back from `bvhNodeCounter[n-1]`,
+    `SinglePassLbvh.cpp:131`; here it's a traced scalar)."""
+    refs = prim_refs_from_triangles(tris)
+    return build_single_pass_refs(refs, use_extended=use_extended)
+
+
+@partial(jax.jit, static_argnames=("use_extended",))
+def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
+    codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
+    left, right, _parent, first, last, root = radix_tree.apetrei_topology(codes)
+    return _assemble(refs, sorted_pos, left, right, first, last, root)
