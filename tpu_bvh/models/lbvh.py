@@ -72,7 +72,7 @@ def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
-    left, right, _parent, first, last = radix_tree.karras_topology(codes)
+    left, right, _parent, first, last = radix_tree.karras_topology_fast(codes)
     return _assemble(refs, sorted_pos, left, right, first, last, jnp.zeros((), I32))
 
 
@@ -89,5 +89,7 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
-    left, right, _parent, first, last, root = radix_tree.apetrei_topology(codes)
+    left, right, _parent, first, last, root = radix_tree.apetrei_topology_fast(
+        codes
+    )
     return _assemble(refs, sorted_pos, left, right, first, last, root)

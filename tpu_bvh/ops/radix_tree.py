@@ -178,6 +178,155 @@ def nsv_psv(vals):
     return psv, nsv
 
 
+def apetrei_topology_fast(codes):
+    """Gather-free single-pass topology via threshold scans.
+
+    TPU microbenchmarks show random gathers cost ~60x a dense scan, so the
+    sparse-table NSV/PSV descent of `apetrei_topology` is re-expressed over
+    the *small alphabet* of delta values: with 30-bit codes and n <= 2^22
+    leaves, delta(j) takes at most 64 distinct values, so
+
+        nsv(i) = first j > i with delta(j) < delta(i)
+
+    becomes, for every threshold v at once, an exclusive suffix-min of
+    position-packed keys over a [V, n-1] mask table — pure `lax.cummin`
+    rows — followed by a one-hot row select at v = delta(i). Positions and
+    delta values are packed as pos*64+delta so a single min carries both
+    (the same monotone-packing trick the reference uses for its PLOC
+    neighbor encoding, `Ploc++Kernel.h:140-146`). Child links are emitted
+    without scatters: every non-root node is sorted by (parent, side) and
+    children of node k land exactly at slots 2k/2k+1.
+
+    Same output contract as `apetrei_topology`.
+    """
+    n = codes.shape[0]
+    m = n - 1
+    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    nsv = last
+    idx = jnp.arange(m, dtype=I32)
+    is_root = (first == 0) & (last == n - 1)
+    internal_is_right = psv_val > nsv_val
+    parent_internal = jnp.where(is_root, I32(-1), jnp.where(internal_is_right, psv, nsv))
+
+    jdx = jnp.arange(n, dtype=I32)
+    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])  # dlt[j-1]
+    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])  # dlt[j]
+    leaf_is_right = ldl > ldr
+    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
+
+    # child links by sorting (parent, side): child of parent k at slot 2k+side
+    key_internal = jnp.where(
+        is_root, I32(2 * m), parent_internal * 2 + internal_is_right.astype(I32)
+    )
+    key_leaf = parent_leaf * 2 + leaf_is_right.astype(I32)
+    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
+    all_vals = jnp.concatenate([idx, m + jdx])
+    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
+    left_internal = sorted_vals[0::2][:m]
+    right_internal = sorted_vals[1::2][:m]
+
+    n_nodes = 2 * n - 1
+    left = jnp.concatenate([left_internal, jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
+    parent = jnp.concatenate([parent_internal, parent_leaf])
+    root_idx = jnp.argmax(is_root).astype(I32)
+    return left, right, parent, first, last, root_idx
+
+
+def _threshold_core(codes):
+    """Shared threshold-scan core: per-boundary (first, last, psv_val,
+    nsv_val, psv, nsv) without gathers. See `apetrei_topology_fast`."""
+    n = codes.shape[0]
+    m = n - 1
+    assert n <= (1 << 22), "pos*64 packing requires n <= 2^22"
+    V = 64
+    dlt = adjacent_deltas(codes)
+    pos = jnp.arange(m, dtype=I32)
+    packed = pos * V + dlt
+    vrange = jnp.arange(V, dtype=I32)
+    maskv = dlt[None, :] < vrange[:, None]
+    big = jnp.int32(2**31 - 1)
+
+    pk = jnp.where(maskv, packed[None, :], big)
+    suf = lax.cummin(pk[:, ::-1], axis=1)[:, ::-1]
+    nsv_rows = jnp.concatenate([suf[:, 1:], jnp.full((V, 1), big, I32)], axis=1)
+    pk2 = jnp.where(maskv, packed[None, :], I32(-1))
+    pre = lax.cummax(pk2, axis=1)
+    psv_rows = jnp.concatenate([jnp.full((V, 1), -1, I32), pre[:, :-1]], axis=1)
+
+    onehot = dlt[None, :] == vrange[:, None]
+    nsv_packed = jnp.sum(jnp.where(onehot, nsv_rows, 0), axis=0)
+    psv_packed = jnp.sum(jnp.where(onehot, psv_rows, 0), axis=0)
+
+    has_nsv = nsv_packed != big
+    has_psv = psv_packed >= 0
+    nsv = jnp.where(has_nsv, nsv_packed // V, m)
+    nsv_val = jnp.where(has_nsv, nsv_packed % V, -1)
+    psv = jnp.where(has_psv, psv_packed // V, -1)
+    psv_val = jnp.where(has_psv, psv_packed % V, -1)
+    return dlt, psv + 1, nsv, psv_val, nsv_val, psv
+
+
+def karras_topology_fast(codes):
+    """Karras node layout emitted by the gather-free threshold-scan core.
+
+    The Karras kernel stores the node covering [l, r] at index `split` when
+    it is a left child and `split+1` when it is a right child
+    (`TwoPassLbvhKernel.h:210-211`) — i.e. at its own `last` (left child)
+    or `first` (right child), root at 0. Relabeling the split-position
+    (Apetrei) topology with that bijection reproduces Karras's arrays
+    exactly, at threshold-scan cost instead of per-node binary-search
+    gathers. Returns the same contract as `karras_topology` (root == 0).
+    """
+    n = codes.shape[0]
+    m = n - 1
+    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    nsv = last
+    idx = jnp.arange(m, dtype=I32)
+    is_root = (first == 0) & (last == n - 1)
+    internal_is_right = psv_val > nsv_val
+    parent_internal = jnp.where(internal_is_right, psv, nsv)
+
+    # bijection: apetrei (split) index -> karras index
+    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+
+    jdx = jnp.arange(n, dtype=I32)
+    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
+    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
+    leaf_is_right = ldl > ldr
+    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
+
+    # karras index of each child's parent: one gather of the dense pi array
+    kp_internal = pi[jnp.clip(parent_internal, 0, m - 1)]
+    kp_leaf = pi[jnp.clip(parent_leaf, 0, m - 1)]
+
+    key_internal = jnp.where(
+        is_root, I32(2 * m), kp_internal * 2 + internal_is_right.astype(I32)
+    )
+    key_leaf = kp_leaf * 2 + leaf_is_right.astype(I32)
+    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
+    all_vals = jnp.concatenate([pi, m + jdx])
+    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
+    left_internal = sorted_vals[0::2][:m]
+    right_internal = sorted_vals[1::2][:m]
+
+    # permute (first, last) into karras node order via one key-value sort
+    _, first_k, last_k = lax.sort(
+        (pi.astype(jnp.uint32), first, last), num_keys=1
+    )
+
+    n_nodes = 2 * n - 1
+    left = jnp.concatenate([left_internal, jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
+    # parent array in karras labels, karras order
+    parent_internal_k = jnp.where(is_root, I32(-1), kp_internal)
+    _, parent_k = lax.sort(
+        (pi.astype(jnp.uint32), parent_internal_k), num_keys=1
+    )
+    parent = jnp.concatenate([parent_k, kp_leaf])
+    return left, right, parent, first_k, last_k
+
+
 def apetrei_topology(codes):
     """Single-pass-style build: every node's parent computed directly.
 

@@ -5,9 +5,14 @@ The reference propagates leaf AABBs bottom-up with an atomic
 `SinglePassLbvhKernel.h:88-126`). On TPU we exploit a structural fact the
 GPU code can't: every LBVH internal node covers a *contiguous* range of
 Morton-sorted leaves, so its AABB is a range min/max over the leaf AABB
-array. We answer all n-1 range queries with a rolling sparse table
-(binary-lifting windows): O(log n) fully-vectorized rounds, no dependencies
-between nodes, bit-deterministic.
+array, answered with a binary-lifting (sparse) table.
+
+TPU microbenchmarks drive the layout: dense shifts cost ~0.03 ms at 262K
+elements while a random row-gather costs ~2.8 ms, so the table is built
+with dense clamped shifts and *stacked* into one [(K+1)*n, 6] array so that
+all n-1 queries resolve with exactly two row-gathers (one per window),
+instead of per-level gathers. Min and negated max are packed so a single
+`minimum` covers both. Deterministic by construction.
 """
 from __future__ import annotations
 
@@ -31,30 +36,29 @@ def refit_ranges(leaf_min, leaf_max, first, last):
     Returns (node_min f32[m,3], node_max f32[m,3]).
 
     Sparse-table answer: with k = floor(log2(len)), the union of windows
-    [first, first+2^k) and [last-2^k+1, last] covers the range exactly. The
-    table is built level by level and queried for the nodes whose k matches,
-    so only one level is resident at a time (O(n) memory).
+    [first, first+2^k) and [last-2^k+1, last] covers the range exactly.
     """
     n = leaf_min.shape[0]
-    m = first.shape[0]
     levels = max(1, math.ceil(math.log2(max(n, 2))))
+
+    packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
+    tabs = [packed]
+    cur = packed
+    for k in range(1, levels + 1):
+        s = 1 << (k - 1)
+        if s < n:
+            # clamped window: T_k[i] = min(T_{k-1}[i], T_{k-1}[min(i+s, n-1)])
+            shifted = jnp.concatenate(
+                [cur[s:], jnp.broadcast_to(cur[-1:], (s, 6))], axis=0
+            )
+            cur = jnp.minimum(cur, shifted)
+        tabs.append(cur)
+    table = jnp.concatenate(tabs, axis=0)  # [(levels+1)*n, 6]
+
     length = last - first + 1
     k = _floor_log2(length)
-
-    out_min = jnp.zeros((m, 3), leaf_min.dtype)
-    out_max = jnp.zeros((m, 3), leaf_max.dtype)
-    tab_min, tab_max = leaf_min, leaf_max
-    pos = jnp.arange(n, dtype=I32)
-    for level in range(levels + 1):
-        if level > 0:
-            shift = 1 << (level - 1)
-            nxt = jnp.minimum(pos + shift, n - 1)
-            tab_min = jnp.minimum(tab_min, tab_min[nxt])
-            tab_max = jnp.maximum(tab_max, tab_max[nxt])
-        sel = k == level
-        b = jnp.maximum(last - (1 << level) + 1, 0)
-        cand_min = jnp.minimum(tab_min[first], tab_min[b])
-        cand_max = jnp.maximum(tab_max[first], tab_max[b])
-        out_min = jnp.where(sel[:, None], cand_min, out_min)
-        out_max = jnp.where(sel[:, None], cand_max, out_max)
-    return out_min, out_max
+    b = jnp.maximum(last - (1 << k) + 1, 0)
+    g1 = table[k * n + first]
+    g2 = table[k * n + b]
+    u = jnp.minimum(g1, g2)
+    return u[:, :3], -u[:, 3:]
