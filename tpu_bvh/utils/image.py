@@ -14,10 +14,16 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, rgba: np.ndarray) -> None:
-    """rgba: u8[H, W, 4]."""
+def write_png(path: str, rgba: np.ndarray, prefer_native: bool = True) -> None:
+    """rgba: u8[H, W, 4]. Uses the C++ writer (native/tbvh_native.cpp) when
+    built; the code below is the pure-Python fallback."""
     h, w, c = rgba.shape
     assert c == 4 and rgba.dtype == np.uint8
+    if prefer_native:
+        from . import native
+
+        if native.available() and native.write_png(path, rgba):
+            return
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (

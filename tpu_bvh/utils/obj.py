@@ -11,8 +11,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str) -> np.ndarray:
-    """Parse an OBJ file into a triangle soup f32[N, 3, 3]."""
+def load_obj(path: str, prefer_native: bool = True) -> np.ndarray:
+    """Parse an OBJ file into a triangle soup f32[N, 3, 3].
+
+    Uses the C++ loader (native/tbvh_native.cpp) when built; this function
+    is the pure-Python reference implementation and fallback."""
+    if prefer_native:
+        from . import native
+
+        tris = native.load_obj(path) if native.available() else None
+        if tris is not None:
+            return tris
     verts: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path, "r", encoding="utf-8", errors="replace") as f:
