@@ -46,15 +46,41 @@ def _sorted_leaf_order(refs: PrimRefs, use_extended: bool):
     return sorted_codes, sorted_pos
 
 
-def _assemble(refs: PrimRefs, sorted_pos, left, right, first, last, root):
+def _sorted_leaves(refs: PrimRefs, use_extended: bool):
+    """Like `_sorted_leaf_order`, but the leaf AABBs and prim ids ride the
+    sort as payload operands — a random permutation gather costs ~6x what
+    the extra sort payload does on TPU (v5e microbenchmarks)."""
+    scene_min, scene_max = extents.scene_extents(refs.aabb_min, refs.aabb_max)
+    ext = scene_max - scene_min
+    centroids = A.center(refs.aabb_min, refs.aabb_max)
+    norm = morton.normalize_centroids(centroids, scene_min, ext)
+    if use_extended:
+        codes = morton.extended_morton30(norm, ext)
+    else:
+        codes = morton.morton30(norm)
+    ops = (
+        codes,
+        refs.aabb_min[:, 0],
+        refs.aabb_min[:, 1],
+        refs.aabb_min[:, 2],
+        refs.aabb_max[:, 0],
+        refs.aabb_max[:, 1],
+        refs.aabb_max[:, 2],
+        refs.prim_idx,
+    )
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_codes = out[0]
+    leaf_min = jnp.stack(out[1:4], axis=1)
+    leaf_max = jnp.stack(out[4:7], axis=1)
+    leaf_prim = out[7]
+    return sorted_codes, leaf_min, leaf_max, leaf_prim
+
+
+def _assemble(leaf_min, leaf_max, leaf_prim, left, right, first, last, root):
     """Fill the node SoA: leaves in sorted order (leaf slot n-1+i holds the
     i-th sorted PrimRef, `TwoPassLbvhKernel.h:164-194`), internal AABBs from
     the sparse-table range refit."""
-    n = refs.prim_idx.shape[0]
-    leaf_min = refs.aabb_min[sorted_pos]
-    leaf_max = refs.aabb_max[sorted_pos]
-    leaf_prim = refs.prim_idx[sorted_pos]
-
+    n = leaf_prim.shape[0]
     int_min, int_max = refit.refit_ranges(leaf_min, leaf_max, first, last)
     node_min = jnp.concatenate([int_min, leaf_min], axis=0)
     node_max = jnp.concatenate([int_max, leaf_max], axis=0)
@@ -71,9 +97,11 @@ def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
 
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
-    codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
+    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
     left, right, _parent, first, last = radix_tree.karras_topology_fast(codes)
-    return _assemble(refs, sorted_pos, left, right, first, last, jnp.zeros((), I32))
+    return _assemble(
+        leaf_min, leaf_max, leaf_prim, left, right, first, last, jnp.zeros((), I32)
+    )
 
 
 @partial(jax.jit, static_argnames=("use_extended",))
@@ -88,8 +116,8 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
 
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
-    codes, sorted_pos = _sorted_leaf_order(refs, use_extended)
+    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
     left, right, _parent, first, last, root = radix_tree.apetrei_topology_fast(
         codes
     )
-    return _assemble(refs, sorted_pos, left, right, first, last, root)
+    return _assemble(leaf_min, leaf_max, leaf_prim, left, right, first, last, root)

@@ -23,11 +23,8 @@ I32 = jnp.int32
 
 def _build(tris, use_extended: bool, hploc: bool) -> Bvh2:
     refs = lbvh.prim_refs_from_triangles(tris)
-    codes, sorted_pos = lbvh._sorted_leaf_order(refs, use_extended)
+    codes, leaf_min, leaf_max, leaf_prim = lbvh._sorted_leaves(refs, use_extended)
     n = refs.prim_idx.shape[0]
-    leaf_min = refs.aabb_min[sorted_pos]
-    leaf_max = refs.aabb_max[sorted_pos]
-    leaf_prim = refs.prim_idx[sorted_pos]
 
     left, right, imin, imax = ploc_ops.ploc_build_topology(
         leaf_min, leaf_max, codes, hploc=hploc
