@@ -88,3 +88,41 @@ def test_counts_reasonable(setup):
     counts = np.asarray(counts)
     assert counts.max() <= tris.shape[0]
     assert 0 < counts.mean() < 4
+
+
+def test_packed_traversal_matches(setup):
+    """The single-gather packed engine returns identical hits."""
+    import jax.numpy as jnp
+
+    tris, tr, rays, bvh = setup
+    packed = traverse.pack_bvh2(bvh, tris)
+    hit_p, counts_p = traverse.traverse_packed(
+        packed, bvh.n_internal, bvh.root, rays, tr
+    )
+    hit, counts = traverse.traverse_bvh2(bvh, tris, rays, tr, variant="if_if")
+    assert np.array_equal(np.asarray(hit_p.prim_idx), np.asarray(hit.prim_idx))
+    m = np.asarray(hit.prim_idx) >= 0
+    assert np.allclose(np.asarray(hit_p.t)[m], np.asarray(hit.t)[m], rtol=1e-5)
+    assert np.array_equal(np.asarray(counts_p), np.asarray(counts))
+
+
+def test_packed_traversal_random(rng):
+    import jax.numpy as jnp
+
+    tris = jnp.asarray(random_tris(rng, 500, spread=5.0, size=1.0))
+    bvh = lbvh.build_single_pass(tris)
+    tr = _identity()
+    n_rays = 128
+    origins = rng.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays = Rays(
+        origin=jnp.asarray(origins),
+        direction=jnp.asarray(dirs),
+        tmin=jnp.zeros(n_rays),
+        tmax=jnp.full(n_rays, 3.4e38),
+    )
+    packed = traverse.pack_bvh2(bvh, tris)
+    hit_p, _ = traverse.traverse_packed(packed, bvh.n_internal, bvh.root, rays, tr)
+    hit, _ = traverse.traverse_bvh2(bvh, tris, rays, tr)
+    assert np.array_equal(np.asarray(hit_p.prim_idx), np.asarray(hit.prim_idx))

@@ -76,12 +76,10 @@ def _sorted_leaves(refs: PrimRefs, use_extended: bool):
     return sorted_codes, leaf_min, leaf_max, leaf_prim
 
 
-def _assemble(leaf_min, leaf_max, leaf_prim, left, right, first, last, root):
+def _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root):
     """Fill the node SoA: leaves in sorted order (leaf slot n-1+i holds the
-    i-th sorted PrimRef, `TwoPassLbvhKernel.h:164-194`), internal AABBs from
-    the sparse-table range refit."""
+    i-th sorted PrimRef, `TwoPassLbvhKernel.h:164-194`)."""
     n = leaf_prim.shape[0]
-    int_min, int_max = refit.refit_ranges(leaf_min, leaf_max, first, last)
     node_min = jnp.concatenate([int_min, leaf_min], axis=0)
     node_max = jnp.concatenate([int_max, leaf_max], axis=0)
     left = left.at[n - 1 :].set(leaf_prim)
@@ -98,9 +96,12 @@ def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
-    left, right, _parent, first, last = radix_tree.karras_topology_fast(codes)
-    return _assemble(
-        leaf_min, leaf_max, leaf_prim, left, right, first, last, jnp.zeros((), I32)
+    left, right, _parent, int_min, int_max = radix_tree.karras_build(
+        codes, leaf_min, leaf_max
+    )
+    return _finalize(
+        leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max,
+        jnp.zeros((), I32),
     )
 
 
@@ -117,7 +118,7 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
-    left, right, _parent, first, last, root = radix_tree.apetrei_topology_fast(
-        codes
+    left, right, _parent, int_min, int_max, root = radix_tree.apetrei_build(
+        codes, leaf_min, leaf_max
     )
-    return _assemble(leaf_min, leaf_max, leaf_prim, left, right, first, last, root)
+    return _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root)

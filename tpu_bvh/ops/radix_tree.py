@@ -214,16 +214,18 @@ def apetrei_topology_fast(codes):
     leaf_is_right = ldl > ldr
     parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
 
-    # child links by sorting (parent, side): child of parent k at slot 2k+side
+    # child links by sorting (side, parent): left children land in the
+    # first m sorted slots, right children in the next m — contiguous
+    # slices, which are free (a stride-2 slice costs like a gather on TPU)
     key_internal = jnp.where(
-        is_root, I32(2 * m), parent_internal * 2 + internal_is_right.astype(I32)
+        is_root, I32(2 * m), internal_is_right.astype(I32) * m + parent_internal
     )
-    key_leaf = parent_leaf * 2 + leaf_is_right.astype(I32)
+    key_leaf = leaf_is_right.astype(I32) * m + parent_leaf
     all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
     all_vals = jnp.concatenate([idx, m + jdx])
     _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
-    left_internal = sorted_vals[0::2][:m]
-    right_internal = sorted_vals[1::2][:m]
+    left_internal = sorted_vals[:m]
+    right_internal = sorted_vals[m : 2 * m]
 
     n_nodes = 2 * n - 1
     left = jnp.concatenate([left_internal, jnp.full((n,), -1, I32)])
@@ -239,10 +241,14 @@ def _threshold_core(codes):
     n = codes.shape[0]
     m = n - 1
     assert n <= (1 << 22), "pos*64 packing requires n <= 2^22"
-    V = 64
-    dlt = adjacent_deltas(codes)
+    # Deltas of <=30-bit codes live in [2,31]; index-tie deltas in [41,63]
+    # (32 + clz32(i^j), i^j < 2^23). Remapping to a dense [0,52] alphabet
+    # (order preserving) shrinks every threshold plane by ~17%.
+    V = 53
+    dlt_raw = adjacent_deltas(codes)
+    dlt = jnp.where(dlt_raw <= 31, dlt_raw - 2, dlt_raw - 11)
     pos = jnp.arange(m, dtype=I32)
-    packed = pos * V + dlt
+    packed = pos * 64 + dlt
     vrange = jnp.arange(V, dtype=I32)
     maskv = dlt[None, :] < vrange[:, None]
     big = jnp.int32(2**31 - 1)
@@ -260,10 +266,10 @@ def _threshold_core(codes):
 
     has_nsv = nsv_packed != big
     has_psv = psv_packed >= 0
-    nsv = jnp.where(has_nsv, nsv_packed // V, m)
-    nsv_val = jnp.where(has_nsv, nsv_packed % V, -1)
-    psv = jnp.where(has_psv, psv_packed // V, -1)
-    psv_val = jnp.where(has_psv, psv_packed % V, -1)
+    nsv = jnp.where(has_nsv, nsv_packed >> 6, m)
+    nsv_val = jnp.where(has_nsv, nsv_packed & 63, -1)
+    psv = jnp.where(has_psv, psv_packed >> 6, -1)
+    psv_val = jnp.where(has_psv, psv_packed & 63, -1)
     return dlt, psv + 1, nsv, psv_val, nsv_val, psv
 
 
@@ -296,35 +302,138 @@ def karras_topology_fast(codes):
     leaf_is_right = ldl > ldr
     parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
 
-    # karras index of each child's parent: one gather of the dense pi array
-    kp_internal = pi[jnp.clip(parent_internal, 0, m - 1)]
-    kp_leaf = pi[jnp.clip(parent_leaf, 0, m - 1)]
+    # karras index of each child's parent: one concatenated gather of pi
+    kp = pi[
+        jnp.clip(jnp.concatenate([parent_internal, parent_leaf]), 0, m - 1)
+    ]
+    kp_internal = kp[:m]
+    kp_leaf = kp[m:]
 
     key_internal = jnp.where(
-        is_root, I32(2 * m), kp_internal * 2 + internal_is_right.astype(I32)
+        is_root, I32(2 * m), internal_is_right.astype(I32) * m + kp_internal
     )
-    key_leaf = kp_leaf * 2 + leaf_is_right.astype(I32)
+    key_leaf = leaf_is_right.astype(I32) * m + kp_leaf
     all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
     all_vals = jnp.concatenate([pi, m + jdx])
     _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
-    left_internal = sorted_vals[0::2][:m]
-    right_internal = sorted_vals[1::2][:m]
+    left_internal = sorted_vals[:m]
+    right_internal = sorted_vals[m : 2 * m]
 
-    # permute (first, last) into karras node order via one key-value sort
-    _, first_k, last_k = lax.sort(
-        (pi.astype(jnp.uint32), first, last), num_keys=1
+    # permute (first, last, parent) into karras node order with one sort
+    parent_internal_k = jnp.where(is_root, I32(-1), kp_internal)
+    _, first_k, last_k, parent_k = lax.sort(
+        (pi.astype(jnp.uint32), first, last, parent_internal_k), num_keys=1
     )
 
     n_nodes = 2 * n - 1
     left = jnp.concatenate([left_internal, jnp.full((n,), -1, I32)])
     right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
-    # parent array in karras labels, karras order
-    parent_internal_k = jnp.where(is_root, I32(-1), kp_internal)
-    _, parent_k = lax.sort(
-        (pi.astype(jnp.uint32), parent_internal_k), num_keys=1
-    )
     parent = jnp.concatenate([parent_k, kp_leaf])
     return left, right, parent, first_k, last_k
+
+
+def apetrei_build(codes, leaf_min, leaf_max):
+    """Fused single-pass build: threshold-scan topology + anchored refit.
+
+    The production path behind `models.lbvh.build_single_pass`: one
+    threshold-core evaluation feeds both the topology emission and the
+    boundary-ordered anchored refit (node i's range contains boundary i, so
+    most AABBs resolve with dense shifts — see `refit.refit_anchored`).
+    Returns (left, right, parent, int_min, int_max, root).
+    """
+    from . import refit as _refit
+
+    n = codes.shape[0]
+    m = n - 1
+    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    nsv = last
+    idx = jnp.arange(m, dtype=I32)
+    is_root = (first == 0) & (last == n - 1)
+    internal_is_right = psv_val > nsv_val
+    parent_internal = jnp.where(is_root, I32(-1), jnp.where(internal_is_right, psv, nsv))
+
+    int_min, int_max = _refit.refit_anchored(leaf_min, leaf_max, first, last)
+
+    jdx = jnp.arange(n, dtype=I32)
+    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
+    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
+    leaf_is_right = ldl > ldr
+    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
+
+    key_internal = jnp.where(
+        is_root, I32(2 * m), internal_is_right.astype(I32) * m + parent_internal
+    )
+    key_leaf = leaf_is_right.astype(I32) * m + parent_leaf
+    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
+    all_vals = jnp.concatenate([idx, m + jdx])
+    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
+
+    left = jnp.concatenate([sorted_vals[:m], jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([sorted_vals[m : 2 * m], jnp.full((n,), -1, I32)])
+    parent = jnp.concatenate([parent_internal, parent_leaf])
+    root_idx = jnp.argmax(is_root).astype(I32)
+    return left, right, parent, int_min, int_max, root_idx
+
+
+def karras_build(codes, leaf_min, leaf_max):
+    """Fused two-pass build: threshold-scan topology + anchored refit, with
+    node AABBs permuted into the Karras layout by riding the relabeling
+    sort as payload (no extra gathers).
+
+    Returns (left, right, parent, int_min, int_max); root is node 0.
+    """
+    from . import refit as _refit
+
+    n = codes.shape[0]
+    m = n - 1
+    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    nsv = last
+    is_root = (first == 0) & (last == n - 1)
+    internal_is_right = psv_val > nsv_val
+    parent_internal = jnp.where(internal_is_right, psv, nsv)
+    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+
+    int_min_b, int_max_b = _refit.refit_anchored(leaf_min, leaf_max, first, last)
+
+    jdx = jnp.arange(n, dtype=I32)
+    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
+    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
+    leaf_is_right = ldl > ldr
+    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
+
+    kp = pi[jnp.clip(jnp.concatenate([parent_internal, parent_leaf]), 0, m - 1)]
+    kp_internal = kp[:m]
+    kp_leaf = kp[m:]
+
+    key_internal = jnp.where(
+        is_root, I32(2 * m), internal_is_right.astype(I32) * m + kp_internal
+    )
+    key_leaf = leaf_is_right.astype(I32) * m + kp_leaf
+    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
+    all_vals = jnp.concatenate([pi, m + jdx])
+    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
+
+    parent_internal_k = jnp.where(is_root, I32(-1), kp_internal)
+    (_, parent_k, a0, a1, a2, b0, b1, b2) = lax.sort(
+        (
+            pi.astype(jnp.uint32),
+            parent_internal_k,
+            int_min_b[:, 0],
+            int_min_b[:, 1],
+            int_min_b[:, 2],
+            int_max_b[:, 0],
+            int_max_b[:, 1],
+            int_max_b[:, 2],
+        ),
+        num_keys=1,
+    )
+    int_min = jnp.stack([a0, a1, a2], axis=1)
+    int_max = jnp.stack([b0, b1, b2], axis=1)
+
+    left = jnp.concatenate([sorted_vals[:m], jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([sorted_vals[m : 2 * m], jnp.full((n,), -1, I32)])
+    parent = jnp.concatenate([parent_k, kp_leaf])
+    return left, right, parent, int_min, int_max
 
 
 def apetrei_topology(codes):

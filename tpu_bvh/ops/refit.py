@@ -28,6 +28,99 @@ def _floor_log2(x):
     return (31 - lax.clz(x.astype(jnp.uint32)).astype(I32)).astype(I32)
 
 
+def _build_table(leaf_min, leaf_max, levels):
+    """Stacked binary-lifting min-table over (min, -max) rows."""
+    n = leaf_min.shape[0]
+    packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
+    tabs = [packed]
+    cur = packed
+    for k in range(1, levels + 1):
+        s = 1 << (k - 1)
+        if s < n:
+            shifted = jnp.concatenate(
+                [cur[s:], jnp.broadcast_to(cur[-1:], (s, 6))], axis=0
+            )
+            cur = jnp.minimum(cur, shifted)
+        tabs.append(cur)
+    return jnp.concatenate(tabs, axis=0)  # [(levels+1)*n, 6]
+
+
+def _query_table(table, n, first, last):
+    length = last - first + 1
+    k = _floor_log2(length)
+    b = jnp.maximum(last - (1 << k) + 1, 0)
+    return jnp.minimum(table[k * n + first], table[k * n + b])
+
+
+def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
+    """Refit for boundary-ordered nodes (node i sits between leaves i, i+1
+    with first <= i < i+1 <= last — the split-position layout).
+
+    Exploits that ranges *contain their own index*: any node whose range
+    fits in (i-radius, i+radius] is resolved by 2*radius dense masked
+    shifted unions (~0.5 ms at 262K) — the overwhelming majority in Morton
+    order. The rare long-range nodes are compacted to the front with one
+    stable sort and resolved with two *small* table gathers; a `lax.cond`
+    falls back to the full-gather path if they overflow the static budget
+    (degenerate caterpillar scenes). Everything is deterministic.
+    """
+    n = leaf_min.shape[0]
+    m = first.shape[0]
+    assert m == n - 1, "boundary-ordered refit requires one node per boundary"
+    i = jnp.arange(m, dtype=I32)
+    packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
+
+    short = (i - first < radius) & (last - i <= radius)
+    big = jnp.float32(3.0e38)
+    acc = jnp.full((m, 6), big)
+    for d in range(-radius + 1, radius + 1):
+        # shifted[i] = packed[i + d] (edge rows are masked out by `valid`)
+        if d >= 0:
+            core = packed[d : min(d + m, n)]
+            pad = m - core.shape[0]
+            if pad > 0:
+                core = jnp.concatenate(
+                    [core, jnp.broadcast_to(packed[-1:], (pad, 6))], axis=0
+                )
+            shifted = core
+        else:
+            lead = min(-d, m)
+            shifted = jnp.concatenate(
+                [jnp.broadcast_to(packed[:1], (lead, 6)), packed[: m - lead]],
+                axis=0,
+            )
+        j = i + d
+        valid = (j >= first) & (j <= last) & (j >= 0) & (j < n)
+        acc = jnp.where(valid[:, None], jnp.minimum(acc, shifted), acc)
+
+    levels = max(1, math.ceil(math.log2(max(n, 2))))
+    table = _build_table(leaf_min, leaf_max, levels)
+
+    cap = min(m, max(64, m // 3))
+    n_long = jnp.sum((~short).astype(I32))
+
+    def compact_path(_):
+        # long nodes to the front, stable
+        key = short.astype(jnp.uint32)
+        _, cf, cl, cpos = lax.sort(
+            (key, first, last, i), num_keys=1, is_stable=True
+        )
+        sel_f = cf[:cap]
+        sel_l = cl[:cap]
+        sel_pos = cpos[:cap]
+        u = _query_table(table, n, sel_f, sel_l)
+        rank = jnp.arange(cap, dtype=I32)
+        tgt = jnp.where(rank < n_long, sel_pos, m)  # OOB drop
+        return jnp.full((m, 6), big).at[tgt].set(u, mode="drop")
+
+    def full_path(_):
+        return _query_table(table, n, first, last)
+
+    long_u = lax.cond(n_long <= cap, compact_path, full_path, None)
+    u = jnp.where(short[:, None], acc, long_u)
+    return u[:, :3], -u[:, 3:]
+
+
 def refit_ranges(leaf_min, leaf_max, first, last):
     """AABBs for internal nodes covering sorted-leaf ranges [first, last].
 

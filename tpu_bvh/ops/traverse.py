@@ -193,6 +193,139 @@ def traverse_bvh2(
     return hit, counts
 
 
+def pack_bvh2(bvh: Bvh2, tris):
+    """Traversal-optimized layout: one f32[16] row per node.
+
+    Internal row: [min_l(3), max_l(3), min_r(3), max_r(3), left, right, -, -]
+    Leaf row:     [v0(3), v1(3), v2(3), prim, -, ...]
+    (index fields bitcast into float lanes). A traversal step then needs
+    exactly ONE row-gather instead of six — the dominant cost on TPU, where
+    a random row-gather costs ~100x a dense op. The reference gets the same
+    effect from SIMT caches; this layout makes it explicit. Built once per
+    scene, reused across frames.
+    """
+    ni = bvh.n_internal
+    mm = bvh.n_nodes
+    l = jnp.clip(bvh.left[:ni], 0, mm - 1)
+    r = jnp.clip(bvh.right[:ni], 0, mm - 1)
+
+    def as_f(x):
+        return lax.bitcast_convert_type(x.astype(I32), jnp.float32)
+
+    internal = jnp.concatenate(
+        [
+            bvh.node_min[l],
+            bvh.node_max[l],
+            bvh.node_min[r],
+            bvh.node_max[r],
+            as_f(bvh.left[:ni])[:, None],
+            as_f(bvh.right[:ni])[:, None],
+            jnp.zeros((ni, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    prim = jnp.clip(bvh.left[ni:], 0, tris.shape[0] - 1)
+    tv = tris[prim].reshape(-1, 9)
+    leaf = jnp.concatenate(
+        [
+            tv,
+            as_f(bvh.left[ni:])[:, None],
+            jnp.zeros((mm - ni, 6), jnp.float32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([internal, leaf], axis=0)
+
+
+@partial(jax.jit, static_argnames=())
+def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
+    """Wavefront traversal over the packed layout — ONE gather per step.
+
+    Fused schedule (each active ray does one unit of work per iteration,
+    leaf or internal, off a single row fetch). Same results as
+    `traverse_bvh2`; this is the throughput path.
+    """
+    mm = packed.shape[0]
+    n_rays = rays.origin.shape[0]
+    t_origin, t_inv_dir = _transform_rays(rays, tr)
+
+    def as_i(x):
+        return lax.bitcast_convert_type(x, I32)
+
+    node = jnp.zeros((n_rays,), I32) + root
+    stack = jnp.full((n_rays, STACK_DEPTH), INVALID, I32)
+    top = jnp.ones((n_rays,), I32)
+    hit = HitInfo(
+        prim_idx=jnp.full((n_rays,), INVALID, I32),
+        t=jnp.full((n_rays,), FLT_MAX, jnp.float32),
+        u=jnp.zeros(n_rays, jnp.float32),
+        v=jnp.zeros(n_rays, jnp.float32),
+    )
+    counts = jnp.zeros(n_rays, jnp.uint32)
+    ray_ids = jnp.arange(n_rays, dtype=I32)
+
+    def body(c):
+        node, stack, top, hit, counts = c
+        alive = node != INVALID
+        is_leaf = alive & (node >= n_internal)
+        act_int = alive & ~is_leaf
+        row = packed[jnp.clip(node, 0, mm - 1)]  # [R, 16]
+
+        # internal interpretation: two-child slab test
+        l_idx = as_i(row[:, 12])
+        r_idx = as_i(row[:, 13])
+        t0n, t0f = A.slab_intersect(
+            row[:, 0:3], row[:, 3:6], t_origin, t_inv_dir, hit.t
+        )
+        t1n, t1f = A.slab_intersect(
+            row[:, 6:9], row[:, 9:12], t_origin, t_inv_dir, hit.t
+        )
+        hit_l = t0n <= t0f
+        hit_r = t1n <= t1f
+        both = hit_l & hit_r
+        near = jnp.where(t0n < t1n, l_idx, r_idx)
+        far = jnp.where(t0n < t1n, r_idx, l_idx)
+        do_push = act_int & both & (top < STACK_DEPTH)
+        stack = stack.at[ray_ids, jnp.where(do_push, top, 0)].set(
+            jnp.where(do_push, far, stack[:, 0])
+        )
+        top = jnp.where(do_push, top + 1, top)
+        next_int = jnp.where(both, near, jnp.where(hit_l, l_idx, r_idx))
+        int_miss = act_int & ~(hit_l | hit_r)
+
+        # leaf interpretation: world-space triangle test off the same row
+        v0 = A.transform_point(row[:, 0:3], tr.scale, tr.quat, tr.translation)
+        v1 = A.transform_point(row[:, 3:6], tr.scale, tr.quat, tr.translation)
+        v2 = A.transform_point(row[:, 6:9], tr.scale, tr.quat, tr.translation)
+        u, v, w, t = A.intersect_triangle(v0, v1, v2, rays.origin, rays.direction)
+        prim = as_i(row[:, 9])
+        good = is_leaf & (u > 0) & (v > 0) & (w > 0) & (t > 0) & (t < hit.t)
+        hit = HitInfo(
+            prim_idx=jnp.where(good, prim, hit.prim_idx),
+            t=jnp.where(good, t, hit.t),
+            u=jnp.where(good, u, hit.u),
+            v=jnp.where(good, v, hit.v),
+        )
+        counts = counts + is_leaf.astype(jnp.uint32)
+
+        pop_t = jnp.maximum(top - 1, 0)
+        popped = stack[ray_ids, pop_t]
+        need_pop = is_leaf | int_miss
+        node = jnp.where(
+            act_int & ~int_miss, next_int, jnp.where(need_pop, popped, node)
+        )
+        top = jnp.where(need_pop, pop_t, top)
+        return node, stack, top, hit, counts
+
+    def cond(c):
+        return jnp.any(c[0] != INVALID)
+
+    node, stack, top, hit, counts = lax.while_loop(
+        cond, body, (node, stack, top, hit, counts)
+    )
+    return hit, counts
+
+
 def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
     """Stackless restart-trail traversal (`TraversalKernel.h:28-146`).
 
