@@ -62,6 +62,21 @@ def run(cfg: EngineConfig) -> dict:
     timer = Timer()
     results: dict = {}
 
+    if cfg.builder == "batched":
+        # the reference's batched demo: 4096 copies of the scene, one BVH
+        # per mesh (`main.cpp:39-47`)
+        n_copies = 4096
+        assert n <= 32, "batched demo requires meshes of <= 32 prims"
+        tris_b, _ = batched.pad_meshes([tris_np] * n_copies)
+        with timer.span(TimerCodes.BVH_BUILD):
+            bvhs = jax.block_until_ready(batched.build_batched(jnp.asarray(tris_b)))
+        one = type(bvhs)(*[np.asarray(f)[0] for f in bvhs])
+        assert validate.check_bvh2_correctness(one, tris_b.shape[1])
+        print(f"built {n_copies} BVHs")
+        print(timer.report())
+        results["total_ms"] = timer.total_ms
+        return results
+
     if cfg.builder == "binned_sah":
         with timer.span(TimerCodes.BVH_BUILD):
             sah = binned_sah.build_binned_sah(tris_np)
@@ -160,6 +175,16 @@ def run(cfg: EngineConfig) -> dict:
 
 
 def main(argv=None) -> None:
+    import sys
+
+    if "--profile" in (argv or sys.argv[1:]):
+        argv = [a for a in (argv or sys.argv[1:]) if a != "--profile"]
+        from .utils.introspect import profiler_trace
+
+        with profiler_trace("/tmp/tpu_bvh_trace"):
+            run(parse_args(argv))
+        print("profiler trace written to /tmp/tpu_bvh_trace")
+        return
     run(parse_args(argv))
 
 

@@ -1,0 +1,180 @@
+"""Fused Pallas kernels for the threshold-scan topology core.
+
+Computes, for every Morton boundary i with (remapped) delta value d_i in
+[0, 63]:
+
+  psv(i):  max_{j < i, d_j < d_i} (j*64 + d_j)      (prev smaller, packed)
+  nsv(i):  min_{j > i, d_j < d_i} (j*64 + d_j)      (next smaller, packed)
+
+The unfused XLA version materializes [m, 64] threshold planes in HBM four
+times (mask, scan, exclusive shift, one-hot select) — ~6 ms at 262K on
+v5e. Here the planes live only in VMEM registers: each kernel streams the
+delta column, expands the 64 threshold lanes in-register, runs the
+directional scan with log2(chunk) sublane rolls + a carry row in scratch,
+and immediately reduces back to one packed value per row via the one-hot
+select. Traffic: read i32[m], write i32[m].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+CHUNK = 512
+V = 64
+_BIG = 2**31 - 1
+
+
+def _psv_kernel(dlt_ref, out_ref, carry_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, -1)
+
+    dlt = dlt_ref[:]  # [C, 1]
+    rows = lax.broadcasted_iota(jnp.int32, (c, V), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (c, V), 1)
+    g = i * c + rows  # global boundary index
+    packed = g * 64 + dlt
+    masked = jnp.where(dlt < lanes, packed, -1)  # [C, V]
+
+    # inclusive prefix max along rows
+    x = masked
+    k = 1
+    while k < c:
+        rolled = pltpu.roll(x, k, axis=0)
+        x = jnp.where(rows >= k, jnp.maximum(x, rolled), x)
+        k <<= 1
+    x = jnp.maximum(x, carry_ref[0:1, :])
+    # exclusive: value strictly before this row
+    excl = jnp.where(
+        rows >= 1, pltpu.roll(x, 1, axis=0), carry_ref[0:1, :]
+    )
+    # one-hot select at each row's own delta lane
+    sel = jnp.where(dlt == lanes, excl, -_BIG)
+    out_ref[:] = jnp.max(sel, axis=1, keepdims=True)
+    carry_ref[:] = x[c - 1 : c, :]
+
+
+def _nsv_kernel(dlt_ref, out_ref, carry_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[0]
+    nchunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, _BIG)
+
+    dlt = dlt_ref[:]
+    rows = lax.broadcasted_iota(jnp.int32, (c, V), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (c, V), 1)
+    g = (nchunks - 1 - i) * c + rows
+    packed = g * 64 + dlt
+    masked = jnp.where(dlt < lanes, packed, _BIG)
+
+    # inclusive suffix min along rows
+    x = masked
+    k = 1
+    while k < c:
+        rolled = pltpu.roll(x, c - k, axis=0)  # circular: x[r + k]
+        x = jnp.where(rows < c - k, jnp.minimum(x, rolled), x)
+        k <<= 1
+    x = jnp.minimum(x, carry_ref[0:1, :])
+    # exclusive: value strictly after this row
+    excl = jnp.where(
+        rows < c - 1, pltpu.roll(x, c - 1, axis=0), carry_ref[0:1, :]
+    )
+    sel = jnp.where(dlt == lanes, excl, _BIG)
+    out_ref[:] = jnp.min(sel, axis=1, keepdims=True)
+    carry_ref[:] = x[0:1, :]
+
+
+def _run(kernel, dlt, reverse: bool, pad_value: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = dlt.shape[0]
+    pad = (-m) % CHUNK
+    if pad:
+        filler = jnp.full((pad,), pad_value, jnp.int32)
+        dlt = (
+            jnp.concatenate([dlt, filler])
+            if not reverse
+            else jnp.concatenate([filler, dlt])
+        )
+    mp = dlt.shape[0]
+    chunks = mp // CHUNK
+    col = dlt.reshape(mp, 1)
+    if reverse:
+        index_map = lambda i: (chunks - 1 - i, 0)
+    else:
+        index_map = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[pl.BlockSpec((CHUNK, 1), index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CHUNK, 1), index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, V), jnp.int32)],
+        interpret=interpret,
+    )(col)
+    out = out.reshape(mp)
+    if pad:
+        if not reverse:
+            out = out[:m]
+        else:
+            # reverse pads at the front, so in-kernel row indices (and the
+            # positions packed into the results) are biased by `pad`
+            out = out[pad:]
+            out = jnp.where(out != _BIG, out - pad * 64, out)
+    return out
+
+
+def psv_nsv_packed(dlt, interpret: bool = False):
+    """Fused (psv_packed, nsv_packed) for remapped deltas i32[m] in [0,63].
+    psv sentinel: -1 (none); nsv sentinel: 2^31-1 (none)."""
+    # Padding deltas use value 63 so padded rows never become anyone's
+    # "smaller" neighbor within the real range... they are outside the real
+    # rows anyway (appended after for fwd, before for rev) so any value
+    # works for correctness of real rows; 0 would make padded rows pick up
+    # real values harmlessly. We use 63 and real rows cannot see padding:
+    # fwd pads after (never scanned before real rows), rev pads before.
+    psv = _run(_psv_kernel, dlt, reverse=False, pad_value=63, interpret=interpret)
+    nsv = _run(_nsv_kernel, dlt, reverse=True, pad_value=63, interpret=interpret)
+    return psv, nsv
+
+
+def psv_nsv_packed_reference(dlt):
+    """lax fallback / oracle (also used on CPU and under vmap)."""
+    m = dlt.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    packed = pos * 64 + dlt
+    vr = jnp.arange(V, dtype=jnp.int32)
+    maskv = dlt[:, None] < vr[None, :]
+    pk = jnp.where(maskv, packed[:, None], _BIG)
+    suf = lax.cummin(pk, axis=0, reverse=True)
+    nsv_rows = jnp.concatenate([suf[1:], jnp.full((1, V), _BIG, jnp.int32)], axis=0)
+    pk2 = jnp.where(maskv, packed[:, None], jnp.int32(-1))
+    pre = lax.cummax(pk2, axis=0)
+    psv_rows = jnp.concatenate([jnp.full((1, V), -1, jnp.int32), pre[:-1]], axis=0)
+    onehot = dlt[:, None] == vr[None, :]
+    nsv = jnp.sum(jnp.where(onehot, nsv_rows, 0), axis=1)
+    psv = jnp.sum(jnp.where(onehot, psv_rows, 0), axis=1)
+    return psv, nsv
+
+
+def psv_nsv_packed_auto(dlt):
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+        return psv_nsv_packed(dlt)
+    return psv_nsv_packed_reference(dlt)

@@ -237,32 +237,23 @@ def apetrei_topology_fast(codes):
 
 def _threshold_core(codes):
     """Shared threshold-scan core: per-boundary (first, last, psv_val,
-    nsv_val, psv, nsv) without gathers. See `apetrei_topology_fast`."""
+    nsv_val, psv, nsv) without gathers. See `apetrei_topology_fast`.
+
+    Layout: [m, V] with the V=64 threshold lanes minor (deltas of <=30-bit
+    codes remap to a dense [0,52] alphabet; lanes pad to 64). The
+    directional plane scans run in a Pallas kernel on TPU
+    (`ops/pallas/plane_scan.py`) and fall back to lax elsewhere.
+    """
+    from .pallas.threshold_core import psv_nsv_packed_auto
+
     n = codes.shape[0]
     m = n - 1
     assert n <= (1 << 22), "pos*64 packing requires n <= 2^22"
-    # Deltas of <=30-bit codes live in [2,31]; index-tie deltas in [41,63]
-    # (32 + clz32(i^j), i^j < 2^23). Remapping to a dense [0,52] alphabet
-    # (order preserving) shrinks every threshold plane by ~17%.
-    V = 53
     dlt_raw = adjacent_deltas(codes)
+    # order-preserving remap: normals [2,31] -> [0,29], ties [41,63] -> [30,52]
     dlt = jnp.where(dlt_raw <= 31, dlt_raw - 2, dlt_raw - 11)
-    pos = jnp.arange(m, dtype=I32)
-    packed = pos * 64 + dlt
-    vrange = jnp.arange(V, dtype=I32)
-    maskv = dlt[None, :] < vrange[:, None]
     big = jnp.int32(2**31 - 1)
-
-    pk = jnp.where(maskv, packed[None, :], big)
-    suf = lax.cummin(pk[:, ::-1], axis=1)[:, ::-1]
-    nsv_rows = jnp.concatenate([suf[:, 1:], jnp.full((V, 1), big, I32)], axis=1)
-    pk2 = jnp.where(maskv, packed[None, :], I32(-1))
-    pre = lax.cummax(pk2, axis=1)
-    psv_rows = jnp.concatenate([jnp.full((V, 1), -1, I32), pre[:, :-1]], axis=1)
-
-    onehot = dlt[None, :] == vrange[:, None]
-    nsv_packed = jnp.sum(jnp.where(onehot, nsv_rows, 0), axis=0)
-    psv_packed = jnp.sum(jnp.where(onehot, psv_rows, 0), axis=0)
+    psv_packed, nsv_packed = psv_nsv_packed_auto(dlt)
 
     has_nsv = nsv_packed != big
     has_psv = psv_packed >= 0
