@@ -49,25 +49,28 @@ def _sorted_leaf_order(refs: PrimRefs, use_extended: bool):
 def _sorted_leaves(refs: PrimRefs, use_extended: bool):
     """Like `_sorted_leaf_order`, but the leaf AABBs and prim ids ride the
     sort as payload operands — a random permutation gather costs ~6x what
-    the extra sort payload does on TPU (v5e microbenchmarks)."""
-    scene_min, scene_max = extents.scene_extents(refs.aabb_min, refs.aabb_max)
+    the extra sort payload does on TPU (v5e microbenchmarks).
+
+    Works column-major internally: extracting a column of an [n, 3] array
+    costs ~0.7 ms at 262K on TPU (lane-padding relayout), so the six AABB
+    columns come from one [6, n] transpose instead of six slices."""
+    cols = refs.aabb_min.T  # [3, n] — one relayout
+    cols_max = refs.aabb_max.T
+    mnx, mny, mnz = cols[0], cols[1], cols[2]
+    mxx, mxy, mxz = cols_max[0], cols_max[1], cols_max[2]
+
+    scene_min = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
+    scene_max = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
     ext = scene_max - scene_min
-    centroids = A.center(refs.aabb_min, refs.aabb_max)
-    norm = morton.normalize_centroids(centroids, scene_min, ext)
+    safe = jnp.where(ext > 0, ext, 1.0)
+    nx = ((mnx + mxx) * 0.5 - scene_min[0]) / safe[0]
+    ny = ((mny + mxy) * 0.5 - scene_min[1]) / safe[1]
+    nz = ((mnz + mxz) * 0.5 - scene_min[2]) / safe[2]
     if use_extended:
-        codes = morton.extended_morton30(norm, ext)
+        codes = morton.extended_morton30_cols(nx, ny, nz, ext)
     else:
-        codes = morton.morton30(norm)
-    ops = (
-        codes,
-        refs.aabb_min[:, 0],
-        refs.aabb_min[:, 1],
-        refs.aabb_min[:, 2],
-        refs.aabb_max[:, 0],
-        refs.aabb_max[:, 1],
-        refs.aabb_max[:, 2],
-        refs.prim_idx,
-    )
+        codes = morton.morton30_cols(nx, ny, nz)
+    ops = (codes, mnx, mny, mnz, mxx, mxy, mxz, refs.prim_idx)
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     sorted_codes = out[0]
     leaf_min = jnp.stack(out[1:4], axis=1)

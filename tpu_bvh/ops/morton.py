@@ -32,17 +32,20 @@ def _spread3(x):
     return x
 
 
-def morton30(normalized_pos):
-    """Plain 30-bit Morton code from normalized [0,1)^3 positions,
-    `computeMortonCode` (`CommonBlocksKernel.h:361-372`).
+def morton30_cols(nx, ny, nz):
+    """Plain 30-bit Morton code from normalized [0,1) coordinate columns,
+    `computeMortonCode` (`CommonBlocksKernel.h:361-372`)."""
+    def q(p):
+        return jnp.clip(p * 1024.0, 0.0, 1023.0).astype(U32)
 
-    normalized_pos: f32[N, 3] -> u32[N].
-    """
-    q = jnp.clip(normalized_pos * 1024.0, 0.0, 1023.0).astype(U32)
-    xx = _spread3(q[:, 0])
-    yy = _spread3(q[:, 1])
-    zz = _spread3(q[:, 2])
-    return xx * U32(4) + yy * U32(2) + zz
+    return _spread3(q(nx)) * U32(4) + _spread3(q(ny)) * U32(2) + _spread3(q(nz))
+
+
+def morton30(normalized_pos):
+    """Array-of-structs wrapper over `morton30_cols` (f32[N,3] -> u32[N])."""
+    return morton30_cols(
+        normalized_pos[:, 0], normalized_pos[:, 1], normalized_pos[:, 2]
+    )
 
 
 def _axis_order(ext):
@@ -93,6 +96,17 @@ def extended_morton30(normalized_pos, scene_extent):
     (uniform over the scene); per-primitive work is pure u32 bit math.
     normalized_pos: f32[N,3], scene_extent: f32[3] -> u32[N].
     """
+    return extended_morton30_cols(
+        normalized_pos[:, 0],
+        normalized_pos[:, 1],
+        normalized_pos[:, 2],
+        scene_extent,
+    )
+
+
+def extended_morton30_cols(px, py, pz, scene_extent):
+    """Column form of `extended_morton30` (axis selection via dense selects
+    instead of dynamic [n,3] column extraction, which gathers on TPU)."""
     num_morton_bits = 30
     start_axis, pre = _axis_order(scene_extent)
     swap = pre[2] - (pre[0] + pre[1])
@@ -131,9 +145,12 @@ def extended_morton30(normalized_pos, scene_extent):
         scale = (U32(1) << nbits.astype(U32)).astype(jnp.float32)
         return jnp.minimum(jnp.maximum(p * scale, 0.0), scale - 1.0).astype(U32)
 
-    code_x = axis_code(normalized_pos[:, start_axis[0]], bits_x)
-    code_y = axis_code(normalized_pos[:, start_axis[1]], bits_y)
-    code_z = axis_code(normalized_pos[:, start_axis[2]], bits_z)
+    def pick(axis):
+        return jnp.where(axis == 0, px, jnp.where(axis == 1, py, pz))
+
+    code_x = axis_code(pick(start_axis[0]), bits_x)
+    code_y = axis_code(pick(start_axis[1]), bits_y)
+    code_z = axis_code(pick(start_axis[2]), bits_z)
 
     have_pre = prebits_sum > 0
     ubx = bits_x.astype(U32)

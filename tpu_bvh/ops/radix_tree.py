@@ -59,10 +59,16 @@ def delta_at(codes, i, j):
 
 
 def adjacent_deltas(codes):
-    """delta(j, j+1) for j in [0, n-2] (the boundary similarity array)."""
+    """delta(j, j+1) for j in [0, n-2] (the boundary similarity array).
+    Pure slicing — no gathers (codes[j] with j=arange lowers as a real
+    gather on TPU, ~60x slower than the slice)."""
     n = codes.shape[0]
+    ci = codes[:-1]
+    cj = codes[1:]
     j = jnp.arange(n - 1, dtype=I32)
-    return delta_at(codes, j, j + 1)
+    x = ci ^ cj
+    tie = 32 + _clz32(j.astype(U32) ^ (j + 1).astype(U32))
+    return jnp.where(x == 0, tie, _clz32(x))
 
 
 def _search_iters(n: int) -> int:

@@ -72,26 +72,19 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
 
     short = (i - first < radius) & (last - i <= radius)
     big = jnp.float32(3.0e38)
-    acc = jnp.full((m, 6), big)
+    # Dense phase in lane-major [6, *] layout: every shifted window is a
+    # static lane slice of one padded array (an [m, 6]-major loop pays ~8x
+    # lane-padding waste per op on TPU).
+    pad_t = jnp.full((6, radius), big)
+    packed_t = jnp.concatenate([pad_t, packed.T, pad_t], axis=1)  # [6, n+2R]
+    acc_t = jnp.full((6, m), big)
     for d in range(-radius + 1, radius + 1):
-        # shifted[i] = packed[i + d] (edge rows are masked out by `valid`)
-        if d >= 0:
-            core = packed[d : min(d + m, n)]
-            pad = m - core.shape[0]
-            if pad > 0:
-                core = jnp.concatenate(
-                    [core, jnp.broadcast_to(packed[-1:], (pad, 6))], axis=0
-                )
-            shifted = core
-        else:
-            lead = min(-d, m)
-            shifted = jnp.concatenate(
-                [jnp.broadcast_to(packed[:1], (lead, 6)), packed[: m - lead]],
-                axis=0,
-            )
+        # window[:, i] = packed[i + d] (out-of-range lanes hold +big)
+        shifted = lax.dynamic_slice(packed_t, (0, radius + d), (6, m))
         j = i + d
-        valid = (j >= first) & (j <= last) & (j >= 0) & (j < n)
-        acc = jnp.where(valid[:, None], jnp.minimum(acc, shifted), acc)
+        valid = (j >= first) & (j <= last)
+        acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
+    acc = acc_t.T
 
     levels = max(1, math.ceil(math.log2(max(n, 2))))
     table = _build_table(leaf_min, leaf_max, levels)
