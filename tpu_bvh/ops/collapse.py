@@ -1,16 +1,23 @@
-"""BVH2 -> BVH4 collapse as deterministic frontier BFS.
+"""BVH2 -> BVH4 collapse as a slab-streamed BFS.
 
 The reference runs a persistent kernel spinning on a global task queue with
 atomic slot allocation (`/root/reference/src/TwoPassLbvhKernel.h:237-337`).
-On TPU the same algorithm becomes a `lax.while_loop` over BFS frontiers:
-each round expands every pending wide-node task in parallel (twice splitting
-the largest-area internal child, giving <= 4 children,
-`TwoPassLbvhKernel.h:270-296`) and allocates child slots with an exclusive
-cumsum instead of `atomicAdd` — which makes the node order deterministic and
-identical to the sequential CPU oracle (`Utility.cpp:540-611`).
+The TPU version streams the same BFS task queue in fixed-size slabs:
 
-Rounds = depth of the wide tree (~log4), each round a handful of masked
-vector gathers — no spinning, no fences.
+* every bvh2 node is pre-packed into a 12-float row (child ids, area,
+  AABB) so each child access during expansion is ONE row-gather;
+* a `lax.while_loop` carries a cursor (start, alloc) over the task queue;
+  each iteration processes the slab [start, start+B) with `dynamic_slice`
+  (static size, dynamic offset), expands every task's largest-area internal
+  child twice (<= 4 children, `TwoPassLbvhKernel.h:270-296`), allocates
+  child slots with an exclusive cumsum, writes results back with
+  `dynamic_update_slice`, and enqueues new tasks contiguously;
+* processing strictly in queue order with cumsum allocation makes the node
+  numbering deterministic and byte-identical to the sequential CPU oracle
+  (`Utility.cpp:540-611`), which the tests enforce.
+
+Gather volume is ~6 rows per task total (vs. whole-array gathers per BFS
+level), independent of tree depth.
 """
 from __future__ import annotations
 
@@ -25,56 +32,51 @@ from . import aabb as A
 
 I32 = jnp.int32
 INVALID = jnp.int32(-1)
+SLAB = 4096
+
+
+def _as_f(x):
+    return lax.bitcast_convert_type(x.astype(I32), jnp.float32)
+
+
+def _as_i(x):
+    return lax.bitcast_convert_type(x, I32)
 
 
 @jax.jit
 def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
     n_leaves = bvh.n_leaves
     n2_int = bvh.n_internal
+    mm = bvh.n_nodes
     cap = max(n2_int, 1)
-    node_areas = A.area(bvh.node_min, bvh.node_max)
+    slab = min(SLAB, max(cap, 8))  # XLA CPU chokes on degenerate 1-wide slabs
+    # dynamic_slice/update_slice clamp out-of-range offsets, which would
+    # silently shift the last slab — pad the queue/output arrays instead
+    cap_pad = cap + slab
 
-    def expand(task_b2, todo):
-        """Children of each pending task after two largest-area-internal
-        expansions. Returns (ids i32[cap,4], count i32[cap])."""
-        safe = jnp.clip(task_b2, 0, bvh.n_nodes - 1)
-        ids = jnp.stack(
-            [
-                bvh.left[safe],
-                bvh.right[safe],
-                jnp.full((cap,), INVALID),
-                jnp.full((cap,), INVALID),
-            ],
-            axis=1,
-        )
-        count = jnp.full((cap,), 2, I32)
-        slot_ids = jnp.arange(4, dtype=I32)[None, :]
-        for _ in range(2):
-            is_int = (ids >= 0) & (ids < n2_int) & (slot_ids < count[:, None])
-            areas = jnp.where(is_int, node_areas[jnp.clip(ids, 0, bvh.n_nodes - 1)], -1.0)
-            pos = jnp.argmax(areas, axis=1).astype(I32)
-            best = jnp.max(areas, axis=1)
-            do = todo & (best > 0.0)  # strict > 0 as the reference's maxArea=0 start
-            chosen = ids[jnp.arange(cap), pos]
-            chosen_safe = jnp.clip(chosen, 0, bvh.n_nodes - 1)
-            lc = bvh.left[chosen_safe]
-            rc = bvh.right[chosen_safe]
-            # replace expanded slot with its left child, append right child
-            ids = jnp.where(
-                do[:, None] & (slot_ids == pos[:, None]), lc[:, None], ids
-            )
-            ids = jnp.where(
-                do[:, None] & (slot_ids == count[:, None]), rc[:, None], ids
-            )
-            count = jnp.where(do, count + 1, count)
-        return ids, count
+    areas = A.area(bvh.node_min, bvh.node_max)
+    # packed per-node row: [left, right, area, min3, max3, pad3] -> 12
+    prow = jnp.concatenate(
+        [
+            _as_f(bvh.left)[:, None],
+            _as_f(bvh.right)[:, None],
+            areas[:, None],
+            bvh.node_min,
+            bvh.node_max,
+            jnp.zeros((mm, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    def fetch(ids):
+        return prow[jnp.clip(ids, 0, mm - 1)]
 
     def body(carry):
         (
-            task_b2,
-            task_parent,
-            processed,
+            start,
             alloc,
+            tq_id,
+            tq_parent,
             child,
             cmin,
             cmax,
@@ -83,59 +85,107 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
             leaf_prim,
             leaf_parent,
         ) = carry
-        todo = (task_b2 >= 0) & ~processed
-        ids, count = expand(task_b2, todo)
-        slot_ids = jnp.arange(4, dtype=I32)[None, :]
-        in_count = slot_ids < count[:, None]
-        is_int_child = todo[:, None] & in_count & (ids >= 0) & (ids < n2_int)
-        is_leaf_child = todo[:, None] & in_count & (ids >= n2_int)
+        lane = jnp.arange(slab, dtype=I32)
+        gidx = start + lane  # global task/wide-node index
+        active = gidx < alloc
 
-        # Deterministic slot allocation: exclusive cumsum across (task, slot)
-        # in row-major order — BFS order, matching the CPU oracle.
+        task_b2 = lax.dynamic_slice(tq_id, (start,), (slab,))
+        task_par = lax.dynamic_slice(tq_parent, (start,), (slab,))
+        trow = fetch(task_b2)
+        l_id = _as_i(trow[:, 0])
+        r_id = _as_i(trow[:, 1])
+        ids = jnp.stack([l_id, r_id, jnp.full_like(l_id, INVALID), jnp.full_like(l_id, INVALID)], axis=1)
+        rowdata = jnp.stack(
+            [fetch(l_id), fetch(r_id), jnp.zeros((slab, 12)), jnp.zeros((slab, 12))],
+            axis=1,
+        )
+        count = jnp.full((slab,), 2, I32)
+        slot_ids = jnp.arange(4, dtype=I32)[None, :]
+
+        for _ in range(2):
+            in_slot = slot_ids < count[:, None]
+            is_int = in_slot & (ids >= 0) & (ids < n2_int)
+            slot_area = jnp.where(is_int, rowdata[:, :, 2], -1.0)
+            pos = jnp.argmax(slot_area, axis=1).astype(I32)
+            best = jnp.max(slot_area, axis=1)
+            do = active & (best > 0.0)  # strict >0 like the reference's maxArea=0
+            onehot = slot_ids == pos[:, None]
+            # select (not sum!) the chosen slot: lanes 0/1 hold bitcast int
+            # ids, which are denormal floats — arithmetic flushes them to
+            # zero; `where` chains are bit-preserving
+            chosen_row = rowdata[:, 0]
+            for k in range(1, 4):
+                chosen_row = jnp.where(
+                    (pos == k)[:, None], rowdata[:, k], chosen_row
+                )
+            cl = _as_i(chosen_row[:, 0])
+            cr = _as_i(chosen_row[:, 1])
+            row_cl = fetch(cl)
+            row_cr = fetch(cr)
+            ids = jnp.where(do[:, None] & onehot, cl[:, None], ids)
+            ids = jnp.where(
+                do[:, None] & (slot_ids == count[:, None]), cr[:, None], ids
+            )
+            rowdata = jnp.where(
+                (do[:, None] & onehot)[:, :, None], row_cl[:, None, :], rowdata
+            )
+            rowdata = jnp.where(
+                (do[:, None] & (slot_ids == count[:, None]))[:, :, None],
+                row_cr[:, None, :],
+                rowdata,
+            )
+            count = jnp.where(do, count + 1, count)
+
+        in_slot = slot_ids < count[:, None]
+        is_int_child = active[:, None] & in_slot & (ids >= 0) & (ids < n2_int)
+        is_leaf_child = active[:, None] & in_slot & (ids >= n2_int)
+
         flat_int = is_int_child.reshape(-1)
         ranks = jnp.cumsum(flat_int.astype(I32)) - flat_int.astype(I32)
-        new_ids = (alloc + ranks).reshape(cap, 4)
+        new_ids = (alloc + ranks).reshape(slab, 4)
         n_new = jnp.sum(flat_int.astype(I32))
 
-        ids_safe = jnp.clip(ids, 0, bvh.n_nodes - 1)
-        child_new = jnp.where(
+        child_slab = jnp.where(
             is_int_child,
             new_ids,
             jnp.where(is_leaf_child, cap + (ids - n2_int), INVALID),
         )
-        child = jnp.where(todo[:, None], child_new, child)
-        cmin = jnp.where(
-            todo[:, None, None], bvh.node_min[ids_safe], cmin
-        )
-        cmax = jnp.where(
-            todo[:, None, None], bvh.node_max[ids_safe], cmax
-        )
-        child_count = jnp.where(todo, count, child_count)
+        cmin_slab = rowdata[:, :, 3:6]
+        cmax_slab = rowdata[:, :, 6:9]
 
-        # enqueue new tasks (scatter with OOB drop for non-internal slots)
-        tgt = jnp.where(is_int_child, new_ids, cap).reshape(-1)
-        task_b2 = task_b2.at[tgt].set(ids.reshape(-1), mode="drop")
-        task_parent = task_parent.at[tgt].set(
-            jnp.repeat(jnp.arange(cap, dtype=I32), 4), mode="drop"
+        # contiguous write-back of this slab's wide nodes
+        child = lax.dynamic_update_slice(child, child_slab, (start, 0))
+        cmin = lax.dynamic_update_slice(cmin, cmin_slab, (start, 0, 0))
+        cmax = lax.dynamic_update_slice(cmax, cmax_slab, (start, 0, 0))
+        parent = lax.dynamic_update_slice(parent, task_par, (start,))
+        child_count = lax.dynamic_update_slice(
+            child_count, jnp.where(active, count, 0), (start,)
         )
 
-        # record wide leaves
+        # enqueue internal children contiguously at [alloc, alloc+n_new)
+        tq_tgt = jnp.where(is_int_child, new_ids, cap).reshape(-1)
+        tq_id = tq_id.at[tq_tgt].set(ids.reshape(-1), mode="drop")
+        tq_parent = tq_parent.at[tq_tgt].set(
+            jnp.repeat(gidx, 4), mode="drop"
+        )
+
+        # wide leaves
         leaf_slot = jnp.where(is_leaf_child, ids - n2_int, n_leaves).reshape(-1)
-        leaf_prim = leaf_prim.at[leaf_slot].set(
-            bvh.left[ids_safe].reshape(-1), mode="drop"
-        )
+        leaf_prim_vals = _as_i(rowdata[:, :, 0]).reshape(-1)  # leaf's left = prim
+        leaf_prim = leaf_prim.at[leaf_slot].set(leaf_prim_vals, mode="drop")
         leaf_parent = leaf_parent.at[leaf_slot].set(
-            jnp.repeat(jnp.arange(cap, dtype=I32), 4), mode="drop"
+            jnp.repeat(gidx, 4), mode="drop"
         )
 
-        parent = jnp.where(todo, task_parent, parent)
-        processed = processed | todo
+        # advance past what was actually processed: only tasks allocated
+        # BEFORE this round (reads of later enqueues would be stale)
+        start = jnp.minimum(start + slab, alloc)
         alloc = alloc + n_new
         return (
-            task_b2,
-            task_parent,
-            processed,
+            start,
             alloc,
+            tq_id,
+            tq_parent,
             child,
             cmin,
             cmax,
@@ -146,43 +196,28 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         )
 
     def cond(carry):
-        task_b2, _tp, processed, *_ = carry
-        return jnp.any((task_b2 >= 0) & ~processed)
+        start, alloc, *_ = carry
+        return start < alloc
 
-    task_b2 = jnp.full((cap,), INVALID).at[0].set(bvh.root.astype(I32))
-    task_parent = jnp.full((cap,), INVALID)
-    processed = jnp.zeros((cap,), bool)
-    alloc = jnp.ones((), I32)
-    child = jnp.full((cap, 4), INVALID)
-    cmin = jnp.zeros((cap, 4, 3), jnp.float32)
-    cmax = jnp.zeros((cap, 4, 3), jnp.float32)
-    parent = jnp.full((cap,), INVALID)
-    child_count = jnp.zeros((cap,), I32)
-    leaf_prim = jnp.full((n_leaves,), INVALID)
-    leaf_parent = jnp.full((n_leaves,), INVALID)
-
-    carry = lax.while_loop(
-        cond,
-        body,
-        (
-            task_b2,
-            task_parent,
-            processed,
-            alloc,
-            child,
-            cmin,
-            cmax,
-            parent,
-            child_count,
-            leaf_prim,
-            leaf_parent,
-        ),
+    carry = (
+        jnp.zeros((), I32),
+        jnp.ones((), I32),
+        jnp.full((cap_pad,), INVALID).at[0].set(bvh.root.astype(I32)),
+        jnp.full((cap_pad,), INVALID),
+        jnp.full((cap_pad, 4), INVALID),
+        jnp.zeros((cap_pad, 4, 3), jnp.float32),
+        jnp.zeros((cap_pad, 4, 3), jnp.float32),
+        jnp.full((cap_pad,), INVALID),
+        jnp.zeros((cap_pad,), I32),
+        jnp.full((n_leaves,), INVALID),
+        jnp.full((n_leaves,), INVALID),
     )
+    carry = lax.while_loop(cond, body, carry)
     (
-        task_b2,
-        task_parent,
-        processed,
+        _start,
         alloc,
+        _tq_id,
+        _tq_parent,
         child,
         cmin,
         cmax,
@@ -192,11 +227,11 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         leaf_parent,
     ) = carry
     return Bvh4(
-        child_min=cmin,
-        child_max=cmax,
-        child=child,
-        parent=parent,
-        child_count=child_count,
+        child_min=cmin[:cap],
+        child_max=cmax[:cap],
+        child=child[:cap],
+        parent=parent[:cap],
+        child_count=child_count[:cap],
         n_nodes=alloc,
         leaf_prim=leaf_prim,
         leaf_parent=leaf_parent,
