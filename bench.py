@@ -101,6 +101,62 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name} cost failed: {e}", file=sys.stderr)
 
+    # BVH2 -> BVH4 collapse (reference: 3.64 ms sponza, README.md:79)
+    try:
+        from tpu_bvh.ops import collapse as collapse_ops
+
+        bvh0 = lbvh.build_single_pass(tris)
+
+        def make_collapse_loop(k):
+            def run():
+                def body(i, acc):
+                    b = bvh0._replace(
+                        node_min=bvh0.node_min + i.astype(jnp.float32) * 0.0
+                    )
+                    wide = collapse_ops.collapse_bvh2_to_bvh4(b)
+                    return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
+
+                return lax.fori_loop(0, k, body, 0.0)
+
+            return run
+
+        ms = _slope_time(make_collapse_loop, k_lo=1, k_hi=4)
+        print(
+            f"collapse: {ms:.3f} ms (vs ref 3.638 ms -> {3.638/ms:.2f}x)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"collapse bench failed: {e}", file=sys.stderr)
+
+    import os
+
+    if os.environ.get("TPU_BVH_BENCH_ALL"):
+        from tpu_bvh.models import ploc as ploc_models
+
+        for name, build, base in [
+            ("ploc", ploc_models.build_ploc, BASELINES_MS["ploc"]),
+            ("hploc", ploc_models.build_hploc, BASELINES_MS["hploc"]),
+        ]:
+            try:
+                def mk(k, build=build):
+                    def run():
+                        def body(i, acc):
+                            t = tris + (i.astype(jnp.float32) * 1e-7)
+                            b = build(t)
+                            return acc + b.node_min[0, 0]
+
+                        return lax.fori_loop(0, k, body, 0.0)
+
+                    return run
+
+                ms = _slope_time(mk, k_lo=1, k_hi=3)
+                print(
+                    f"{name}: build {ms:.3f} ms (vs ref {base:.3f} -> {base/ms:.2f}x)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} bench failed: {e}", file=sys.stderr)
+
     # traversal throughput: packed single-gather wavefront, 512x512 primary
     try:
         from tpu_bvh.ops import traverse
