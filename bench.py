@@ -128,6 +128,37 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"collapse bench failed: {e}", file=sys.stderr)
 
+    # batched tiny-mesh throughput (the reference's 4096-mesh demo,
+    # main.cpp:39-47; no reference timing published)
+    try:
+        from tpu_bvh.models import batched
+
+        n_meshes = 4096
+        base = np.asarray(scenes.cornellbox(), np.float32)
+        tris_b = jnp.asarray(
+            np.broadcast_to(base, (n_meshes, *base.shape)).copy()
+        )
+
+        def mk_batched(k):
+            def run():
+                def body(i, acc):
+                    t = tris_b + (i.astype(jnp.float32) * 1e-7)
+                    b = batched.build_batched(t)
+                    return acc + b.node_min[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
+
+                return lax.fori_loop(0, k, body, 0.0)
+
+            return run
+
+        ms = _slope_time(mk_batched, k_lo=1, k_hi=4)
+        print(
+            f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
+            f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"batched bench failed: {e}", file=sys.stderr)
+
     import os
 
     if os.environ.get("TPU_BVH_BENCH_ALL"):

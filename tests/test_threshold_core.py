@@ -23,3 +23,13 @@ def test_all_equal_deltas():
     p2, n2 = tc.psv_nsv_packed_reference(dlt)
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+
+@pytest.mark.parametrize("m", [1024, 2000])
+def test_lane_major_matches_reference(m):
+    rng = np.random.default_rng(m)
+    dlt = jnp.asarray(rng.integers(0, 53, size=m, dtype=np.int32))
+    p1, n1 = tc.psv_nsv_packed_lanes(dlt, interpret=True)
+    p2, n2 = tc.psv_nsv_packed_reference(dlt)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))

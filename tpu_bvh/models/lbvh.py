@@ -56,9 +56,14 @@ def _sorted_leaves(refs: PrimRefs, use_extended: bool):
     columns come from one [6, n] transpose instead of six slices."""
     cols = refs.aabb_min.T  # [3, n] — one relayout
     cols_max = refs.aabb_max.T
-    mnx, mny, mnz = cols[0], cols[1], cols[2]
-    mxx, mxy, mxz = cols_max[0], cols_max[1], cols_max[2]
+    return _sorted_leaves_cols(
+        cols[0], cols[1], cols[2],
+        cols_max[0], cols_max[1], cols_max[2],
+        refs.prim_idx, use_extended,
+    )
 
+
+def _sorted_leaves_cols(mnx, mny, mnz, mxx, mxy, mxz, prim_idx, use_extended):
     scene_min = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
     scene_max = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
     ext = scene_max - scene_min
@@ -70,7 +75,7 @@ def _sorted_leaves(refs: PrimRefs, use_extended: bool):
         codes = morton.extended_morton30_cols(nx, ny, nz, ext)
     else:
         codes = morton.morton30_cols(nx, ny, nz)
-    ops = (codes, mnx, mny, mnz, mxx, mxy, mxz, refs.prim_idx)
+    ops = (codes, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     sorted_codes = out[0]
     leaf_min = jnp.stack(out[1:4], axis=1)
@@ -89,11 +94,35 @@ def _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root
     return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
 
 
+def _sorted_leaves_from_tris(tris, use_extended: bool):
+    """Triangle-soup front end in pure column form: one [n,9] transpose
+    feeds per-axis AABB mins/maxes (no [n,3] minor-dim ops at all)."""
+    n = tris.shape[0]
+    t9 = tris.reshape(n, 9).T  # [9, n]: v0x v0y v0z v1x ... v2z
+    mnx = jnp.minimum(jnp.minimum(t9[0], t9[3]), t9[6])
+    mny = jnp.minimum(jnp.minimum(t9[1], t9[4]), t9[7])
+    mnz = jnp.minimum(jnp.minimum(t9[2], t9[5]), t9[8])
+    mxx = jnp.maximum(jnp.maximum(t9[0], t9[3]), t9[6])
+    mxy = jnp.maximum(jnp.maximum(t9[1], t9[4]), t9[7])
+    mxz = jnp.maximum(jnp.maximum(t9[2], t9[5]), t9[8])
+    return _sorted_leaves_cols(
+        mnx, mny, mnz, mxx, mxy, mxz, jnp.arange(n, dtype=I32), use_extended
+    )
+
+
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
     """Karras two-pass LBVH (`TwoPassLbvh.cpp:17-152`). Root is node 0."""
-    refs = prim_refs_from_triangles(tris)
-    return build_two_pass_refs(refs, use_extended=use_extended)
+    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves_from_tris(
+        tris, use_extended
+    )
+    left, right, _parent, int_min, int_max = radix_tree.karras_build(
+        codes, leaf_min, leaf_max
+    )
+    return _finalize(
+        leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max,
+        jnp.zeros((), I32),
+    )
 
 
 @partial(jax.jit, static_argnames=("use_extended",))
@@ -114,8 +143,13 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
     tree, split-position node layout, root index data-dependent (the
     reference reads it back from `bvhNodeCounter[n-1]`,
     `SinglePassLbvh.cpp:131`; here it's a traced scalar)."""
-    refs = prim_refs_from_triangles(tris)
-    return build_single_pass_refs(refs, use_extended=use_extended)
+    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves_from_tris(
+        tris, use_extended
+    )
+    left, right, _parent, int_min, int_max, root = radix_tree.apetrei_build(
+        codes, leaf_min, leaf_max
+    )
+    return _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root)
 
 
 @partial(jax.jit, static_argnames=("use_extended",))

