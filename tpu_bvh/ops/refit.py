@@ -29,20 +29,26 @@ def _floor_log2(x):
 
 
 def _build_table(leaf_min, leaf_max, levels):
-    """Stacked binary-lifting min-table over (min, -max) rows."""
+    """Stacked binary-lifting min-table over (min, -max) rows.
+
+    Built lane-major ([6, n] per level: shifts are cheap lane slices) and
+    transposed once at the end into row layout for the row-gather queries —
+    18 minor-dim-[n,6] ops would cost ~8x more than the single transpose.
+    """
     n = leaf_min.shape[0]
-    packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
-    tabs = [packed]
-    cur = packed
+    packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T  # [6, n]
+    tabs = [packed_t]
+    cur = packed_t
     for k in range(1, levels + 1):
         s = 1 << (k - 1)
         if s < n:
             shifted = jnp.concatenate(
-                [cur[s:], jnp.broadcast_to(cur[-1:], (s, 6))], axis=0
+                [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
             )
             cur = jnp.minimum(cur, shifted)
         tabs.append(cur)
-    return jnp.concatenate(tabs, axis=0)  # [(levels+1)*n, 6]
+    table_t = jnp.concatenate(tabs, axis=1)  # [6, (levels+1)*n]
+    return table_t.T  # row layout for the gathers
 
 
 def _query_table(table, n, first, last):
