@@ -50,3 +50,21 @@ image.write_png("/tmp/cornell_render.png", img)
 hm = image.heatmap(counts, W, H)
 image.write_png("/tmp/cornell_heatmap.png", hm)
 print("wrote /tmp/cornell_render.png /tmp/cornell_heatmap.png")
+
+# raster fast path must agree with the wavefront engines
+from tpu_bvh.ops import raster
+
+packed = raster.pack_raster(bvh, tris, leaf_size=16)
+hit_r, counts_r, overflow = raster.render_raster_xla(
+    packed, rays, t, W, H, tile=16, cap=64, group=4
+)
+hit_r = jax.tree.map(np.asarray, hit_r)
+assert not bool(overflow), "raster bin overflow"
+hm = (base.prim_idx >= 0)
+assert np.array_equal(hit_r.prim_idx >= 0, hm), "raster hit-mask mismatch"
+tied = hm & (hit_r.prim_idx != base.prim_idx)
+assert np.allclose(hit_r.t[hm], base.t[hm], rtol=1e-4), "raster t mismatch"
+assert tied.sum() <= 0.001 * hm.sum() + 2, f"raster prim mismatches: {tied.sum()}"
+img_r = image.shade_barycentric(hit_r.prim_idx, hit_r.u, hit_r.v, W, H)
+image.write_png("/tmp/cornell_raster.png", img_r)
+print(f"raster agrees (ties: {int(tied.sum())}); wrote /tmp/cornell_raster.png")
