@@ -52,7 +52,7 @@ def _run_case(tris_np, scene_name, w=64, h=64, tile=16, leaf=16, cap=64):
 
     packed = raster.pack_raster(bvh, tris, leaf_size=leaf)
     hit_r, counts, overflow = raster.render_raster_xla(
-        packed, rays, tr, w, h, tile=tile, cap=cap, group=4
+        packed, rays, tr, w, h, tile=tile, cap_a=8, cap_b=cap, tiles_b=16
     )
     assert not bool(overflow), "treelet candidate cap overflowed"
 
@@ -82,7 +82,7 @@ def test_raster_counts_are_conservative_superset():
     bvh = lbvh.build_two_pass(tris)
     packed = raster.pack_raster(bvh, tris, leaf_size=16)
     hit, counts, overflow = raster.render_raster_xla(
-        packed, rays, tr, 32, 32, tile=16, cap=32, group=4
+        packed, rays, tr, 32, 32, tile=16, cap_a=4, cap_b=32, tiles_b=8
     )
     assert not bool(overflow)
     hits = np.asarray(hit.prim_idx) >= 0

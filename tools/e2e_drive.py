@@ -56,7 +56,7 @@ from tpu_bvh.ops import raster
 
 packed = raster.pack_raster(bvh, tris, leaf_size=16)
 hit_r, counts_r, overflow = raster.render_raster_xla(
-    packed, rays, t, W, H, tile=16, cap=64, group=4
+    packed, rays, t, W, H, tile=16, cap_a=8, cap_b=64, tiles_b=32
 )
 hit_r = jax.tree.map(np.asarray, hit_r)
 assert not bool(overflow), "raster bin overflow"

@@ -29,12 +29,9 @@ def main():
     key = jax.random.PRNGKey(0)
 
     for table_rows, q_rows in [
-        (5_000_000, 262_000),
-        (5_000_000, 87_000),
         (5_000_000, 16_000),
-        (250_000, 87_000),
         (250_000, 16_000),
-        (16_000, 16_000),
+        (262_000, 16_000),
     ]:
         tab = jax.random.normal(key, (table_rows, 6), jnp.float32)
         idx = jax.random.randint(key, (q_rows,), 0, table_rows, jnp.int32)
@@ -51,7 +48,7 @@ def main():
         print(f"gather [{table_rows:>8}] rows x {q_rows:>7} queries: {ms:7.3f} ms",
               flush=True)
 
-    for rows, cols in [(262_000, 6), (524_000, 6), (262_000, 8), (5_000_000, 6)]:
+    for rows, cols in [(262_000, 6), (250_000, 6)]:
         a = jax.random.normal(key, (cols, rows), jnp.float32)
 
         def mk(k, a=a):
@@ -66,7 +63,7 @@ def main():
         print(f"transpose [6-8,{rows}] -> [{rows},{cols}]: {ms:7.3f} ms", flush=True)
 
     # scatter rows
-    for q_rows in [87_000, 16_000]:
+    for q_rows in [16_000]:
         src = jax.random.normal(key, (q_rows, 6), jnp.float32)
         idx = jax.random.randint(key, (q_rows,), 0, 262_000, jnp.int32)
 

@@ -213,9 +213,15 @@ def bin_treelets(
 def _sweep(dirs, coefs, t0):
     """Dense ray-vs-prim-slab sweep. dirs f32[R, 3], coefs f32[P, 4, 3],
     t0 f32[P] (0 ⇒ never hits). Returns per-ray best-in-slab
-    (t f32[R] (BIG = miss), local prim i32[R], u f32[R], v f32[R])."""
+    (t f32[R] (BIG = miss), local prim i32[R], u f32[R], v f32[R]).
+
+    Written as explicit broadcast FMAs (K=3 contraction) rather than a
+    matmul so that under vmap XLA fuses the whole sweep — plane tensors
+    never hit HBM; a batched matmul would materialize [tiles, R, 4P]."""
     p = coefs.shape[0]
-    planes = dirs @ coefs.reshape(p * 4, 3).T  # [R, P*4] — the MXU step
+    d = dirs[:, None, :]  # [R, 1, 3]
+    c = coefs.reshape(1, p * 4, 3)
+    planes = d[..., 0] * c[..., 0] + d[..., 1] * c[..., 1] + d[..., 2] * c[..., 2]
     planes = planes.reshape(dirs.shape[0], p, 4)
     un, vn, wn, den = (
         planes[..., 0],
@@ -249,14 +255,21 @@ def render_raster_xla(
     width: int,
     height: int,
     tile: int = 16,
-    cap: int = 256,
-    group: int = 8,
+    cap_a: int = 16,
+    cap_b: int = 256,
+    tiles_b: int = 64,
 ):
-    """Pure-XLA raster render (reference implementation / CPU + vmap path;
-    the Pallas kernel in `raster_tpu` is the throughput path).
+    """Raster render, pure XLA.
+
+    Two-pass schedule: pass A sweeps the first `cap_a` candidate treelets of
+    EVERY tile (dense, the common case); the rare tiles with more candidates
+    are compacted and their remaining slots [cap_a, cap_b) swept in pass B
+    (`tiles_b` tile slots), entered only when needed via lax.cond.
 
     Returns (HitInfo in the reference's x-major ray order,
-    counts u32[R] = prims swept per ray, overflow bool[]).
+    counts u32[R] = prims swept per ray, overflow bool[] — true when a tile
+    exceeded cap_b candidates or more than tiles_b tiles overflowed pass A;
+    callers should size caps so this never fires).
     """
     return _render_xla_impl(
         scene.tris_sorted,
@@ -266,15 +279,24 @@ def render_raster_xla(
         width,
         height,
         tile,
-        cap,
-        group,
+        cap_a,
+        cap_b,
+        tiles_b,
         scene.leaf_size,
     )
 
 
+def _combine(acc, new):
+    """Closest-hit merge of two (t, prim, u, v) tuples."""
+    better = new[0] < acc[0]
+    return tuple(jnp.where(better, n, a) for n, a in zip(new, acc))
+
+
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "tile", "cap", "group", "leaf_size"),
+    static_argnames=(
+        "width", "height", "tile", "cap_a", "cap_b", "tiles_b", "leaf_size"
+    ),
 )
 def _render_xla_impl(
     tris_sorted,
@@ -284,8 +306,9 @@ def _render_xla_impl(
     width: int,
     height: int,
     tile: int,
-    cap: int,
-    group: int,
+    cap_a: int,
+    cap_b: int,
+    tiles_b: int,
     leaf_size: int,
 ):
     L = leaf_size
@@ -304,66 +327,62 @@ def _render_xla_impl(
     coefs_t = coefs.reshape(nt, L, 4, 3)
     t0_t = t0.reshape(nt, L)
 
-    dirs_tm = rays.direction[perm]
-    bins = bin_treelets(eye, dirs_tm, bmin, bmax, n_tiles, rpt, cap)
-    n_groups = cap // group
-
-    def tile_body(tile_idx):
-        d = lax.dynamic_slice(dirs_tm, (tile_idx * rpt, 0), (rpt, 3))
-        cand = bins.cand[tile_idx]
-        tlb = bins.t_lb[tile_idx]
-
-        def grp(carry, gi):
-            t_acc, prim_acc, u_acc, v_acc, tested = carry
-            ids = lax.dynamic_slice(cand, (gi * group,), (group,))
-            lbs = lax.dynamic_slice(tlb, (gi * group,), (group,))
-            any_real = jnp.any(ids >= 0)
-            # group is provably occluded if even its nearest entry lower
-            # bound exceeds every ray's current hit
-            live = any_real & (jnp.min(lbs) < jnp.max(t_acc))
-
-            def do(_):
-                sid = jnp.clip(ids, 0, nt - 1)
-                c = coefs_t[sid].reshape(group * L, 4, 3)
-                tt = jnp.where(
-                    (ids >= 0)[:, None], t0_t[sid], 0.0
-                ).reshape(group * L)
-                t2, lp, u2, v2 = _sweep(d, c, tt)
-                gprim = sid[jnp.clip(lp, 0, group * L - 1) // L] * L + (lp % L)
-                better = t2 < t_acc
-                return (
-                    jnp.where(better, t2, t_acc),
-                    jnp.where(better, gprim, prim_acc),
-                    jnp.where(better, u2, u_acc),
-                    jnp.where(better, v2, v_acc),
-                    tested + jnp.uint32(group * L),
-                )
-
-            carry2 = lax.cond(
-                live, do, lambda _: (t_acc, prim_acc, u_acc, v_acc, tested), None
-            )
-            return carry2, None
-
-        init = (
-            jnp.full((rpt,), BIG, F32),
-            jnp.full((rpt,), -1, I32),
-            jnp.zeros(rpt, F32),
-            jnp.zeros(rpt, F32),
-            jnp.uint32(0),
-        )
-        (t, prim, u, v, tested), _ = lax.scan(
-            grp, init, jnp.arange(n_groups, dtype=I32)
-        )
-        return t, prim, u, v, jnp.broadcast_to(tested, (rpt,))
-
-    t, prim_sorted, u, v, counts = jax.vmap(tile_body)(
-        jnp.arange(n_tiles, dtype=I32)
+    dirs_tm = rays.direction[perm].reshape(n_tiles, rpt, 3)
+    bins = bin_treelets(
+        eye, dirs_tm.reshape(-1, 3), bmin, bmax, n_tiles, rpt, cap_b
     )
+
+    def sweep_slots(d, ids):
+        """Sweep `ids` (i32[k], -1 padded) treelet slabs for one tile's
+        rays d f32[rpt, 3]. Returns (t, global sorted-leaf prim, u, v)."""
+        k = ids.shape[0]
+        sid = jnp.clip(ids, 0, nt - 1)
+        c = coefs_t[sid].reshape(k * L, 4, 3)
+        tt = jnp.where((ids >= 0)[:, None], t0_t[sid], 0.0).reshape(k * L)
+        t2, lp, u2, v2 = _sweep(d, c, tt)
+        lp = jnp.clip(lp, 0, k * L - 1)
+        gprim = sid[lp // L] * L + (lp % L)
+        gprim = jnp.where(t2 < BIG, gprim, -1)
+        return t2, gprim, u2, v2
+
+    # ---- pass A: first cap_a candidates of every tile
+    t, prim, u, v = jax.vmap(sweep_slots)(dirs_tm, bins.cand[:, :cap_a])
+
+    # ---- pass B: overflow tiles sweep slots [cap_a, cap_b)
+    over = bins.counts > cap_a
+    n_over = jnp.sum(over.astype(I32))
+
+    def pass_b(args):
+        t, prim, u, v = args
+        opos = jnp.cumsum(over.astype(I32)) - 1
+        slot = jnp.where(over, jnp.minimum(opos, tiles_b - 1), tiles_b)
+        tsel = jnp.full((tiles_b + 1,), n_tiles, I32)
+        tsel = tsel.at[slot].set(jnp.arange(n_tiles, dtype=I32), mode="drop")
+        tsel = tsel[:tiles_b]
+        tclip = jnp.minimum(tsel, n_tiles - 1)
+        d_b = dirs_tm[tclip]
+        ids_b = jnp.where(
+            (tsel < n_tiles)[:, None], bins.cand[tclip, cap_a:], -1
+        )
+        tb, pb, ub, vb = jax.vmap(sweep_slots)(d_b, ids_b)
+        # scatter back to tile-major and merge
+        t2 = jnp.full_like(t, BIG).at[tclip].set(tb, mode="drop")
+        p2 = jnp.full_like(prim, -1).at[tclip].set(pb, mode="drop")
+        u2 = jnp.zeros_like(u).at[tclip].set(ub, mode="drop")
+        v2 = jnp.zeros_like(v).at[tclip].set(vb, mode="drop")
+        return _combine((t, prim, u, v), (t2, p2, u2, v2))
+
+    t, prim, u, v = lax.cond(
+        n_over > 0, pass_b, lambda a: a, (t, prim, u, v)
+    )
+
+    counts = (jnp.minimum(bins.counts, cap_b) * L).astype(jnp.uint32)
+    counts = jnp.broadcast_to(counts[:, None], (n_tiles, rpt)).reshape(-1)
+
     t = t.reshape(-1)
-    prim_sorted = prim_sorted.reshape(-1)
+    prim_sorted = prim.reshape(-1)
     u = u.reshape(-1)
     v = v.reshape(-1)
-    counts = counts.reshape(-1)
 
     miss = prim_sorted < 0
     safe = jnp.clip(prim_sorted, 0, prim_ids.shape[0] - 1)
@@ -376,4 +395,5 @@ def _render_xla_impl(
         u=jnp.where(miss, 0.0, u)[inv],
         v=jnp.where(miss, 0.0, v)[inv],
     )
-    return hit, counts[inv], bins.overflow
+    overflow = bins.overflow | (n_over > tiles_b)
+    return hit, counts[inv], overflow

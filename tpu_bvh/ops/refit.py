@@ -28,16 +28,17 @@ def _floor_log2(x):
     return (31 - lax.clz(x.astype(jnp.uint32)).astype(I32)).astype(I32)
 
 
-def _build_table(leaf_min, leaf_max, levels):
+def _build_table(leaf_min, leaf_max, levels, min_level: int = 0):
     """Stacked binary-lifting min-table over (min, -max) rows.
 
     Built lane-major ([6, n] per level: shifts are cheap lane slices) and
     transposed once at the end into row layout for the row-gather queries —
     18 minor-dim-[n,6] ops would cost ~8x more than the single transpose.
-    """
+    Levels below `min_level` are computed but not stacked (queries for
+    ranges longer than 2^min_level never touch them)."""
     n = leaf_min.shape[0]
     packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T  # [6, n]
-    tabs = [packed_t]
+    tabs = [packed_t] if min_level == 0 else []
     cur = packed_t
     for k in range(1, levels + 1):
         s = 1 << (k - 1)
@@ -46,16 +47,18 @@ def _build_table(leaf_min, leaf_max, levels):
                 [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
             )
             cur = jnp.minimum(cur, shifted)
-        tabs.append(cur)
-    table_t = jnp.concatenate(tabs, axis=1)  # [6, (levels+1)*n]
+        if k >= min_level:
+            tabs.append(cur)
+    table_t = jnp.concatenate(tabs, axis=1)  # [6, (levels+1-min_level)*n]
     return table_t.T  # row layout for the gathers
 
 
-def _query_table(table, n, first, last):
+def _query_table(table, n, first, last, min_level: int = 0):
     length = last - first + 1
-    k = _floor_log2(length)
+    k = jnp.maximum(_floor_log2(length), min_level)
     b = jnp.maximum(last - (1 << k) + 1, 0)
-    return jnp.minimum(table[k * n + first], table[k * n + b])
+    k0 = k - min_level
+    return jnp.minimum(table[k0 * n + first], table[k0 * n + b])
 
 
 def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
@@ -92,28 +95,36 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
     acc = acc_t.T
 
+    # a long node's range exceeds the dense radius, so its table query never
+    # uses levels below floor(log2(radius+2)) — don't stack them
     levels = max(1, math.ceil(math.log2(max(n, 2))))
-    table = _build_table(leaf_min, leaf_max, levels)
+    min_level = min(max(0, math.floor(math.log2(radius + 2))), levels)
+    table = _build_table(leaf_min, leaf_max, levels, min_level)
 
-    cap = min(m, max(64, m // 3))
+    cap = min(m, max(64, m // 6))
     n_long = jnp.sum((~short).astype(I32))
 
     def compact_path(_):
-        # long nodes to the front, stable
+        # long nodes to the front (stable sort), query the table for the
+        # first `cap` slots, then ride a second sort back to position order
+        # — a scatter would cost ~1.4 ms flat on TPU, the sort ~0.35 ms.
         key = short.astype(jnp.uint32)
         _, cf, cl, cpos = lax.sort(
             (key, first, last, i), num_keys=1, is_stable=True
         )
-        sel_f = cf[:cap]
-        sel_l = cl[:cap]
-        sel_pos = cpos[:cap]
-        u = _query_table(table, n, sel_f, sel_l)
-        rank = jnp.arange(cap, dtype=I32)
-        tgt = jnp.where(rank < n_long, sel_pos, m)  # OOB drop
-        return jnp.full((m, 6), big).at[tgt].set(u, mode="drop")
+        u = _query_table(table, n, cf[:cap], cl[:cap], min_level)
+        rank = jnp.arange(m, dtype=I32)
+        u_full = jnp.concatenate([u, jnp.full((m - cap, 6), big)], axis=0)
+        u_full = jnp.where((rank < n_long)[:, None], u_full, big)
+        back = lax.sort(
+            (cpos, u_full[:, 0], u_full[:, 1], u_full[:, 2],
+             u_full[:, 3], u_full[:, 4], u_full[:, 5]),
+            num_keys=1,
+        )
+        return jnp.stack(back[1:], axis=1)
 
     def full_path(_):
-        return _query_table(table, n, first, last)
+        return _query_table(table, n, first, last, min_level)
 
     long_u = lax.cond(n_long <= cap, compact_path, full_path, None)
     u = jnp.where(short[:, None], acc, long_u)
