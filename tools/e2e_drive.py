@@ -68,3 +68,23 @@ assert tied.sum() <= 0.001 * hm.sum() + 2, f"raster prim mismatches: {tied.sum()
 img_r = image.shade_barycentric(hit_r.prim_idx, hit_r.u, hit_r.v, W, H)
 image.write_png("/tmp/cornell_raster.png", img_r)
 print(f"raster agrees (ties: {int(tied.sum())}); wrote /tmp/cornell_raster.png")
+
+# Pallas raster kernel (interpret mode) at reduced res
+from tpu_bvh.ops import raster_tpu
+
+Wk = Hk = 128
+rays_k = camera.generate_rays(cam, Wk, Hk)
+hit_k, ovf_k = raster_tpu.render_raster_tpu(
+    packed, rays_k, t, Wk, Hk, cand_cap=64, pair_cap=512, group=4,
+    interpret=True,
+)
+hit_ok, _ = traverse.traverse_bvh2(bvh, tris, rays_k, t, variant="speculative")
+hk = np.asarray(hit_k.prim_idx)
+ho = np.asarray(hit_ok.prim_idx)
+assert not bool(ovf_k)
+assert np.array_equal(hk >= 0, ho >= 0), "pallas raster hit-mask mismatch"
+mask = hk >= 0
+assert np.allclose(
+    np.asarray(hit_k.t)[mask], np.asarray(hit_ok.t)[mask], rtol=1e-4
+), "pallas raster t mismatch"
+print("pallas raster kernel agrees (interpret mode)")

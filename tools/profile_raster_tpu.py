@@ -1,0 +1,70 @@
+"""Pallas raster kernel on the real TPU: correctness spot-check + Mrays/s."""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu_bvh.models import lbvh
+from tpu_bvh.ops import raster, raster_tpu
+from tpu_bvh.utils import camera, scenes
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    np.asarray(f())
+    return time.perf_counter() - t0
+
+
+def slope(make_loop, k_lo=2, k_hi=12, reps=3):
+    f_lo = jax.jit(make_loop(k_lo))
+    f_hi = jax.jit(make_loop(k_hi))
+    np.asarray(f_lo())
+    np.asarray(f_hi())
+    lo = min(_t(f_lo) for _ in range(reps))
+    hi = min(_t(f_hi) for _ in range(reps))
+    return (hi - lo) / (k_hi - k_lo) * 1e3
+
+
+def main():
+    n = 262_000
+    W = H = 512
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    G = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    tris = jnp.asarray(scenes.sponza_like(n))
+    tr, cam = scenes.preset("sponza")
+    rays = camera.generate_rays(cam, W, H)
+    bvh = lbvh.build_single_pass(tris)
+    packed = raster.pack_raster(bvh, tris, leaf_size=L)
+
+    hit, overflow = raster_tpu.render_raster_tpu(
+        packed, rays, tr, W, H, cand_cap=1024, pair_cap=8192, group=G
+    )
+    nh = int(jnp.sum(hit.prim_idx >= 0))
+    print(f"hits {nh}/{W*H} overflow={bool(overflow)}", file=sys.stderr)
+
+    def mk(k):
+        def run():
+            def body(i, acc):
+                r2 = rays._replace(
+                    direction=rays.direction * (1.0 + i.astype(jnp.float32) * 1e-7)
+                )
+                h, o = raster_tpu._render_tpu_impl(
+                    packed.tris_sorted, packed.prim_ids, r2, tr,
+                    W, H, 1024, 8192, G, L, False,
+                )
+                return acc + h.t[0] + h.u[1]
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    ms = slope(mk)
+    mrays = (W * H) / (ms * 1e-3) / 1e6
+    print(f"raster_tpu(L={L},G={G}): {ms:.3f} ms = {mrays:.1f} Mrays/s")
+
+
+if __name__ == "__main__":
+    main()
