@@ -188,40 +188,78 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"{name} bench failed: {e}", file=sys.stderr)
 
-    # traversal throughput: packed single-gather wavefront, 512x512 primary
+    # traversal/render throughput, 512x512 primary rays on sponza:
+    # raster engine (the TPU-native fast path) + packed wavefront reference
     try:
-        from tpu_bvh.ops import traverse
+        from tpu_bvh.ops import raster, raster_tpu
         from tpu_bvh.utils import camera, scenes as sc
 
         bvh = lbvh.build_single_pass(tris)
-        packed = traverse.pack_bvh2(bvh, tris)
         tr, cam = sc.preset("sponza")
         w = h = 512
         rays = camera.generate_rays(cam, w, h)
-        ni = bvh.n_internal
-        root = bvh.root
+        rpack = raster.pack_raster(bvh, tris, leaf_size=64)
 
         def make_loop(k):
             def run():
                 def body(i, acc):
                     r2 = rays._replace(
-                        origin=rays.origin + i.astype(jnp.float32) * 1e-6
+                        direction=rays.direction
+                        * (1.0 + i.astype(jnp.float32) * 1e-7)
                     )
-                    hit, _ = traverse.traverse_packed(packed, ni, root, r2, tr)
-                    return acc + hit.t[0]
+                    hit, _ = raster_tpu._render_tpu_impl(
+                        rpack.tris_sorted, rpack.prim_ids, r2, tr,
+                        w, h, 1024, 8192, 8, 64, False,
+                    )
+                    return acc + hit.t[0] + hit.u[1]
 
                 return lax.fori_loop(0, k, body, 0.0)
 
             return run
 
-        ms = _slope_time(make_loop, k_lo=1, k_hi=4, reps=3)
+        ms = _slope_time(make_loop, k_lo=2, k_hi=8, reps=3)
         mrays = (w * h) / (ms * 1e-3) / 1e6
         print(
-            f"traversal(packed): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s",
+            f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"traversal bench failed: {e}", file=sys.stderr)
+        print(f"raster bench failed: {e}", file=sys.stderr)
+
+    if os.environ.get("TPU_BVH_BENCH_ALL"):
+        try:
+            from tpu_bvh.ops import traverse
+            from tpu_bvh.utils import camera, scenes as sc
+
+            bvh = lbvh.build_single_pass(tris)
+            packed = traverse.pack_bvh2(bvh, tris)
+            tr, cam = sc.preset("sponza")
+            w = h = 512
+            rays = camera.generate_rays(cam, w, h)
+            ni = bvh.n_internal
+            root = bvh.root
+
+            def make_loop(k):
+                def run():
+                    def body(i, acc):
+                        r2 = rays._replace(
+                            origin=rays.origin + i.astype(jnp.float32) * 1e-6
+                        )
+                        hit, _ = traverse.traverse_packed(packed, ni, root, r2, tr)
+                        return acc + hit.t[0]
+
+                    return lax.fori_loop(0, k, body, 0.0)
+
+                return run
+
+            ms = _slope_time(make_loop, k_lo=1, k_hi=4, reps=3)
+            mrays = (w * h) / (ms * 1e-3) / 1e6
+            print(
+                f"traversal(packed wavefront): {ms:.3f} ms = {mrays:.1f} Mrays/s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"traversal bench failed: {e}", file=sys.stderr)
 
     value = results.get(HEADLINE)
     if value is None:

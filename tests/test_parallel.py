@@ -58,3 +58,30 @@ def test_sharded_traversal(rng):
     hit, counts = traverse.traverse_bvh2(bvh, tris, rays, tr)
     assert np.array_equal(np.asarray(hit_s.prim_idx), np.asarray(hit.prim_idx))
     assert np.allclose(np.asarray(hit_s.t), np.asarray(hit.t))
+
+
+def test_sharded_raster_render():
+    import jax.numpy as jnp
+    from tpu_bvh.models import lbvh
+    from tpu_bvh.ops import raster, traverse
+    from tpu_bvh.parallel import sharded
+    from tpu_bvh.utils import scenes, camera
+
+    tris = jnp.asarray(scenes.cornellbox())
+    tr, cam = scenes.preset("cornellbox")
+    W = H = 128
+    rays = camera.generate_rays(cam, W, H)
+    bvh = lbvh.build_two_pass(tris)
+    packed = raster.pack_raster(bvh, tris, leaf_size=8)
+
+    mesh = sharded.default_mesh(2)
+    hit = sharded.render_raster_sharded(
+        mesh, packed, rays, tr, W, H, interpret=True,
+        cand_cap=32, pair_cap=256, group=4,
+    )
+    hit_o, _ = traverse.traverse_bvh2(bvh, tris, rays, tr)
+    pk = np.asarray(hit.prim_idx)
+    po = np.asarray(hit_o.prim_idx)
+    assert np.array_equal(pk >= 0, po >= 0)
+    mask = pk >= 0
+    assert np.allclose(np.asarray(hit.t)[mask], np.asarray(hit_o.t)[mask], rtol=1e-4)

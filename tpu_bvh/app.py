@@ -156,10 +156,31 @@ def run(cfg: EngineConfig) -> dict:
     rays = timer.measure(
         TimerCodes.RAY_GEN, jax.jit(lambda: camera.generate_rays(cam, cfg.width, cfg.height))
     )
-    hit, counts = timer.measure(
-        TimerCodes.TRAVERSAL,
-        lambda: traverse.traverse_bvh2(bvh, tris, rays, tr, variant=cfg.traversal),
-    )
+    if cfg.traversal == "raster":
+        # TPU-native raster engine (Pallas kernel on TPU, XLA elsewhere)
+        from .ops import raster as raster_ops
+        from .ops import raster_tpu
+
+        rpack = raster_ops.pack_raster(bvh, tris, leaf_size=16 if n < 4096 else 64)
+
+        def _raster():
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                hit, _ovf = raster_tpu.render_raster_tpu(
+                    rpack, rays, tr, cfg.width, cfg.height
+                )
+                counts = jnp.zeros(cfg.width * cfg.height, jnp.uint32)
+            else:
+                hit, counts, _ovf = raster_ops.render_raster_xla(
+                    rpack, rays, tr, cfg.width, cfg.height
+                )
+            return hit, counts
+
+        hit, counts = timer.measure(TimerCodes.TRAVERSAL, _raster)
+    else:
+        hit, counts = timer.measure(
+            TimerCodes.TRAVERSAL,
+            lambda: traverse.traverse_bvh2(bvh, tris, rays, tr, variant=cfg.traversal),
+        )
     img = image.shade_barycentric(
         np.asarray(hit.prim_idx), np.asarray(hit.u), np.asarray(hit.v), cfg.width, cfg.height
     )

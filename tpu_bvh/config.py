@@ -11,7 +11,9 @@ import argparse
 from dataclasses import dataclass, field
 
 BUILDERS = ("two_pass", "single_pass", "ploc", "hploc", "binned_sah", "batched")
-TRAVERSAL_VARIANTS = ("if_if", "while_while", "speculative", "restart_trail")
+TRAVERSAL_VARIANTS = (
+    "if_if", "while_while", "speculative", "restart_trail", "raster"
+)
 SCENES = ("cornellbox", "bunny_like", "sponza_like")
 
 

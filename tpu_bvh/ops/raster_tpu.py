@@ -11,11 +11,10 @@ sweeps with fixed-origin Möller coefficients), restructured for the chip:
   (compaction by one small sort — scatters cost ~1.4 ms flat on TPU), and
   each pair's coefficient slab is gathered once into pair order so the
   kernel's index_maps are identity — no gathers anywhere downstream.
-* **Slab layout [pairs, 320, 5]**: rows are 5 blocks of 64 prim-columns
-  (u, v, w, den, t), channels are (cx, cy, cz, affine, prim-id bits). A
-  sweep is ONE `[320, 4] @ [4, 256]` dot against (d, 1) — the ones row
-  realizes the affine t row — then sign tests, exactly the reference's
-  `u>0 & v>0 & w>0 & t>0` (`TraversalKernel.h:86-91`).
+* **Slab layout [pairs, 4, 6L]** (channel-major; see `_build_slabs` for
+  why): a sweep is ONE `dot_general([4, 6L], [d; 1] [4, 256])` — the ones
+  row realizes the affine t and prim-id rows — then sign tests, exactly
+  the reference's `u>0 & v>0 & w>0 & t>0` (`TraversalKernel.h:86-91`).
 * **In-kernel fine culling**: per group of G pairs, a vectorized [G, 16]
   direction-interval cone test against the 16 subtiles' direction bounds
   (computed once per coarse tile into scratch), AND'ed with an occlusion
@@ -68,44 +67,45 @@ def _from_coarse_layout(arr_ct, W: int, H: int):
 
 
 def _build_slabs(wt, prim_ids, eye, leaf_size: int):
-    """Per-treelet coefficient slabs [T+1, 5*L, 5].
+    """Per-treelet coefficient slabs [T+1, 4, 6*L], channel-major.
 
-    Row blocks (L rows each): u, v, w, den, t. Channels: (cx, cy, cz)
-    linear-in-direction coefficients, affine constant (t0 on the t rows),
-    original prim-id bits (on the u rows). Slab T is an all-zero dummy
-    (den = 0 -> never hits) for padding pairs."""
+    dim1 = (cx, cy, cz, affine) channels; dim2 = six L-column blocks
+    (u, v, w, den, t, pid). The whole sweep is then one
+    `dot_general(slab[j] [4, 6L], [d; 1] [4, 256])` — the affine channel
+    realizes the constant t row AND broadcasts the original prim id into
+    the pid rows (stored as exact small FLOATS: bitcast int bits would be
+    denormals, which the TPU flushes to zero). Channel-major keeps each
+    pair's slab a contiguous 96L-byte DMA row — a [5L, 5] layout made the
+    block DMA ~2560 20-byte rows per step and dominated the kernel (~4.5
+    us/step). Slab T is all-zero (den = 0 -> never hits) for padding."""
     L = leaf_size
     coefs, t0 = R._moller_coefs(wt, eye)  # [P,4,3], [P]
     t0 = jnp.where(prim_ids >= 0, t0, 0.0)
     nt = wt.shape[0] // L
     c = coefs.reshape(nt, L, 4, 3)
-    lin = jnp.concatenate(
-        [
-            c[:, :, 0],  # u rows
-            c[:, :, 1],  # v rows
-            c[:, :, 2],  # w rows
-            c[:, :, 3],  # den rows
-            jnp.zeros((nt, L, 3), F32),  # t rows: no linear part
-        ],
-        axis=1,
-    )  # [T, 5L, 3]
-    aff = jnp.concatenate(
-        [jnp.zeros((nt, 4 * L), F32), t0.reshape(nt, L)], axis=1
-    )  # [T, 5L]
-    pid = lax.bitcast_convert_type(prim_ids.reshape(nt, L), F32)
-    pid = jnp.concatenate([pid, jnp.zeros((nt, 4 * L), F32)], axis=1)
-    slab = jnp.concatenate(
-        [lin, aff[:, :, None], pid[:, :, None]], axis=2
-    )  # [T, 5L, 5]
-    return jnp.concatenate([slab, jnp.zeros((1, 5 * L, 5), F32)], axis=0)
+    z = jnp.zeros((nt, L), F32)
+
+    def chan(k):
+        return jnp.concatenate(
+            [c[:, :, 0, k], c[:, :, 1, k], c[:, :, 2, k], c[:, :, 3, k], z, z],
+            axis=1,
+        )  # [T, 6L]
+
+    pidf = prim_ids.reshape(nt, L).astype(F32)  # exact for ids < 2^24
+    aff = jnp.concatenate([z, z, z, z, t0.reshape(nt, L), pidf], axis=1)
+    slab = jnp.stack([chan(0), chan(1), chan(2), aff], axis=1)  # [T, 4, 6L]
+    return jnp.concatenate([slab, jnp.zeros((1, 4, 6 * L), F32)], axis=0)
 
 
-def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm):
+def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm,
+            debug: int = 0):
+    # debug (static): 0 = full sweep; 1 = skip sweeps entirely (binning,
+    # loops, DMA only); 2 = dot + t-plane + min-reduce + t store only
     from jax.experimental import pallas as pl
 
     g = pl.program_id(0)
     G = slab.shape[0]
-    L = slab.shape[1] // 5
+    L = slab.shape[2] // 6
 
     @pl.when(g_first[g] == 1)
     def _init():
@@ -117,7 +117,6 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm):
             seg = dirs[0, :, s * RPT : (s + 1) * RPT]  # [3, 256]
             dm[0:3, s : s + 1] = jnp.min(seg, axis=1, keepdims=True)
             dm[3:6, s : s + 1] = jnp.max(seg, axis=1, keepdims=True)
-        dm[6:7, :] = jnp.full((1, dm.shape[1]), BIGF, F32)
 
     # ---- vectorized cone + occlusion test: [G, NSUB] live matrix.
     # aabb cols are (bmin - eye, bmax - eye): per axis the reachable
@@ -139,8 +138,7 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm):
         lo = jnp.maximum(lo, jnp.maximum(lo1, lo2))
         hi = jnp.minimum(hi, jnp.minimum(hi1, hi2))
         empty = empty | e1 | e2
-    tmax = dm[6:7, :NSUB]  # [1, NSUB] per-subtile max accepted t
-    live = (~empty) & (lo <= hi) & (lo < tmax)
+    live = (~empty) & (lo <= hi)
     weights = jnp.left_shift(
         jnp.ones((1, NSUB), I32), lax.broadcasted_iota(I32, (1, NSUB), 1)
     )
@@ -149,17 +147,28 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm):
     iota_l = lax.broadcasted_iota(I32, (L, RPT), 0)
 
     def sweep(j, s):
-        d_seg = dirs[0, :, pl.ds(s * RPT, RPT)]  # [3, 256]
+        if debug == 1:
+            out_t[0, pl.ds(s // 2, 1), pl.ds(pl.multiple_of((s % 2) * RPT, RPT), RPT)] = (
+                jnp.zeros((1, RPT), F32) + jnp.float32(s)
+            )
+            return
+        d_seg = dirs[0, :, pl.ds(pl.multiple_of(s * RPT, RPT), RPT)]  # [3,256]
         d4 = jnp.concatenate([d_seg, jnp.ones((1, RPT), F32)], axis=0)
-        cj = slab[j, :, 0:4]  # [5L, 4]
+        cj = slab[j]  # [4, 6L]
         planes = lax.dot_general(
-            cj, d4, (((1,), (0,)), ((), ())), preferred_element_type=F32
-        )  # [5L, 256]
+            cj, d4, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )  # [6L, 256]
         un = planes[0 * L : 1 * L, :]
         vn = planes[1 * L : 2 * L, :]
         wn = planes[2 * L : 3 * L, :]
         den = planes[3 * L : 4 * L, :]
         tn = planes[4 * L : 5 * L, :]
+        pidp = planes[5 * L : 6 * L, :]
+        if debug == 2:
+            tmin = jnp.min(tn * den, axis=0, keepdims=True)
+            out_t[0, pl.ds(s // 2, 1),
+                  pl.ds(pl.multiple_of((s % 2) * RPT, RPT), RPT)] = tmin
+            return
         ok = (
             jnp.minimum(
                 jnp.minimum(un * den, vn * den), jnp.minimum(wn * den, tn * den)
@@ -173,36 +182,41 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm):
         # deterministic winner on exact t ties: smallest row index
         win = jnp.min(jnp.where(eq, iota_l, L), axis=0, keepdims=True)
         eqw = eq & (iota_l == win)
-        pid = lax.bitcast_convert_type(slab[j, 0:L, 4:5], I32)  # [L, 1]
         p_best = jnp.min(
-            jnp.where(eqw, pid, jnp.int32(2**31 - 1)), axis=0, keepdims=True
-        )
+            jnp.where(eqw, pidp, BIGF), axis=0, keepdims=True
+        ).astype(I32)
         u_best = jnp.min(jnp.where(eqw, un * inv, BIGF), axis=0, keepdims=True)
         v_best = jnp.min(jnp.where(eqw, vn * inv, BIGF), axis=0, keepdims=True)
 
-        sl = pl.ds(s * RPT, RPT)
-        acc_t = out_t[0:1, sl]
+        # outputs are [1, 8, 512]: subtile s lives at row s//2,
+        # columns [(s%2)*256, +256)
+        sr = pl.ds(s // 2, 1)
+        sc = pl.ds(pl.multiple_of((s % 2) * RPT, RPT), RPT)
+        acc_t = out_t[0, sr, sc]
         better = tmin < acc_t
         new_t = jnp.where(better, tmin, acc_t)
-        out_t[0:1, sl] = new_t
-        out_p[0:1, sl] = jnp.where(better, p_best, out_p[0:1, sl])
-        out_u[0:1, sl] = jnp.where(better, u_best, out_u[0:1, sl])
-        out_v[0:1, sl] = jnp.where(better, v_best, out_v[0:1, sl])
-        dm[6:7, pl.ds(s, 1)] = jnp.max(new_t, axis=1, keepdims=True)
+        out_t[0, sr, sc] = new_t
+        out_p[0, sr, sc] = jnp.where(better, p_best, out_p[0, sr, sc])
+        out_u[0, sr, sc] = jnp.where(better, u_best, out_u[0, sr, sc])
+        out_v[0, sr, sc] = jnp.where(better, v_best, out_v[0, sr, sc])
 
     for j in range(G):
         bits_j = bits_col[j]
 
         @pl.when(bits_j != 0)
         def _pair(j=j, bits_j=bits_j):
-            def s_body(s, carry):
-                @pl.when(((bits_j >> s) & 1) != 0)
-                def _():
-                    sweep(j, s)
+            # visit only the set bits: s = ctz(bits), clear, repeat — the
+            # loop trip count is the LIVE subtile count (~1-2), not 16
+            def s_cond(bits):
+                return bits != 0
 
-                return carry
+            def s_body(bits):
+                low = bits & (-bits)
+                s = 31 - lax.clz(low.astype(jnp.uint32)).astype(I32)
+                sweep(j, s)
+                return bits & (bits - 1)
 
-            lax.fori_loop(0, NSUB, s_body, 0)
+            lax.while_loop(s_cond, s_body, bits_j)
 
 
 def _prepare_pairs(eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, group):
@@ -307,7 +321,7 @@ def render_raster_tpu(
     jax.jit,
     static_argnames=(
         "width", "height", "cand_cap", "pair_cap", "group", "leaf_size",
-        "interpret",
+        "interpret", "debug",
     ),
 )
 def _render_tpu_impl(
@@ -322,6 +336,7 @@ def _render_tpu_impl(
     group: int,
     leaf_size: int,
     interpret: bool,
+    debug: int = 0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -346,7 +361,7 @@ def _render_tpu_impl(
         eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, G
     )
 
-    slabs = _build_slabs(wt, prim_ids, eye, L)  # [T+1, 5L, 5]
+    slabs = _build_slabs(wt, prim_ids, eye, L)  # [T+1, 4, 6L]
     safe_tid = jnp.where(p_tid >= 0, p_tid, nt)
     pair_slab = slabs[safe_tid]  # [P, 5L, 5] — the one gather, pair-sized
     empty = jnp.concatenate([jnp.full((1, 3), BIG), jnp.full((1, 3), -BIG)], 1)
@@ -355,11 +370,13 @@ def _render_tpu_impl(
     ab = jnp.concatenate([ab, jnp.zeros((nt + 1, 2), F32)], axis=1)  # [T+1, 8]
     pair_aabb = ab[safe_tid]
 
+    # outputs as [CT, 8, 512] (Mosaic wants the last two block dims
+    # (8, 128)-aligned; (1, 4096) is not)
     out_shapes = (
-        jax.ShapeDtypeStruct((n_ct, RPC), F32),
-        jax.ShapeDtypeStruct((n_ct, RPC), I32),
-        jax.ShapeDtypeStruct((n_ct, RPC), F32),
-        jax.ShapeDtypeStruct((n_ct, RPC), F32),
+        jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
+        jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), I32),
+        jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
+        jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -370,7 +387,7 @@ def _render_tpu_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, 5 * L, 5), lambda g, gc, gf: (g, 0, 0),
+                (G, 4, 6 * L), lambda g, gc, gf: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -379,21 +396,25 @@ def _render_tpu_impl(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, RPC), lambda g, gc, gf: (gc[g], 0),
+                (1, 8, RPC // 8), lambda g, gc, gf: (gc[g], 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
         * 4,
         scratch_shapes=[pltpu.VMEM((8, max(NSUB, 128)), F32)],
     )
+    from functools import partial as _partial
+
     out_t, out_p, out_u, out_v = pl.pallas_call(
-        _kernel,
+        _partial(_kernel, debug=debug),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
     )(g_ct, g_first, dirs_ct, pair_slab, pair_aabb)
 
-    flat = lambda x: _from_coarse_layout(x[:, :, None], width, height)[:, 0]
+    flat = lambda x: _from_coarse_layout(
+        x.reshape(n_ct, RPC)[:, :, None], width, height
+    )[:, 0]
     t = flat(out_t)
     prim = flat(out_p)
     u = flat(out_u)

@@ -97,3 +97,47 @@ def traverse_sharded(mesh: Mesh, bvh, tris, rays: Rays, tr, variant="speculative
         return traverse.traverse_bvh2(bvh_l, tris_l, rays_l, tr_l, variant=variant)
 
     return _trace(bvh, tris, rays, tr)
+
+def render_raster_sharded(
+    mesh: Mesh,
+    scene,
+    rays: Rays,
+    tr,
+    width: int,
+    height: int,
+    interpret: bool = False,
+    **kw,
+):
+    """Raster render with the image sharded over 'dp' (vertical strips of
+    coarse tiles), scene replicated: each chip runs the full raster
+    pipeline (binning + Pallas sweep kernel) on its strip with zero
+    communication — linear scaling in rays."""
+    from ..ops import raster_tpu
+
+    n_dev = mesh.devices.size
+    assert width % (64 * n_dev) == 0, "width must split into 64px strips"
+    w_local = width // n_dev
+
+    ray_sharding = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    rays = jax.device_put(rays, ray_sharding)
+    scene_arrays = (scene.tris_sorted, scene.prim_ids)
+    scene_arrays = jax.device_put(scene_arrays, rep)
+    tr = jax.device_put(tr, rep)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    def _render(ts, pids, rays_l, tr_l):
+        hit, _ = raster_tpu._render_tpu_impl(
+            ts, pids, rays_l, tr_l, w_local, height,
+            kw.get("cand_cap", 256), kw.get("pair_cap", 2048),
+            kw.get("group", 8), scene.leaf_size, interpret,
+        )
+        return hit
+
+    return _render(*scene_arrays, rays, tr)
