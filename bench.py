@@ -198,7 +198,7 @@ def main() -> None:
         tr, cam = sc.preset("sponza")
         w = h = 512
         rays = camera.generate_rays(cam, w, h)
-        rpack = raster.pack_raster(bvh, tris, leaf_size=64)
+        rpack = raster.pack_raster(bvh, tris, leaf_size=128)
 
         def make_loop(k):
             def run():
@@ -209,7 +209,7 @@ def main() -> None:
                     )
                     hit, _ = raster_tpu._render_tpu_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                        w, h, 1024, 8192, 8, 64, False,
+                        w, h, 1024, 4096, 8, 128, False,
                     )
                     return acc + hit.t[0] + hit.u[1]
 
