@@ -36,9 +36,9 @@ def slope(make_loop, k_lo=2, k_hi=12, reps=3):
 
 
 def main():
-    n = 262_000
-    tris_np = scenes.sponza_like(n)
+    tris_np = scenes.sponza_like(262_000)
     tris = jnp.asarray(tris_np)
+    n = int(tris.shape[0])
 
     # materialize the front-end products once for downstream phases
     codes, leaf_min, leaf_max, leaf_prim = jax.jit(
@@ -127,6 +127,21 @@ def main():
         return run
 
     phases["FULL single_pass"] = mk_full
+
+    def mk_apetrei(k):
+        def run():
+            def body(i, acc):
+                c = codes + 0 * i.astype(jnp.uint32)
+                lm = leaf_min + i.astype(jnp.float32) * 1e-7
+                left, right, parent, imin, imax, root = radix_tree.apetrei_build(
+                    c, lm, leaf_max
+                )
+                return (acc + imin[0, 0] + left[0].astype(jnp.float32)
+                        + root.astype(jnp.float32))
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    phases["apetrei_build(thr+refit+links)"] = mk_apetrei
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for name, mk in phases.items():

@@ -97,8 +97,8 @@ def _build_slabs(wt, prim_ids, eye, leaf_size: int):
     return jnp.concatenate([slab, jnp.zeros((1, 4, 6 * L), F32)], axis=0)
 
 
-def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm,
-            debug: int = 0):
+def _kernel(g_ct, g_first, p_tlb, dirs, slab, aabb,
+            out_t, out_p, out_u, out_v, dm, tmax_s, debug: int = 0):
     # debug (static): 0 = full sweep; 1 = skip sweeps entirely (binning,
     # loops, DMA only); 2 = dot + t-plane + min-reduce + t store only
     from jax.experimental import pallas as pl
@@ -117,6 +117,7 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm,
             seg = dirs[0, :, s * RPT : (s + 1) * RPT]  # [3, 256]
             dm[0:3, s : s + 1] = jnp.min(seg, axis=1, keepdims=True)
             dm[3:6, s : s + 1] = jnp.max(seg, axis=1, keepdims=True)
+            tmax_s[s] = BIGF
 
     # ---- vectorized cone + occlusion test: [G, NSUB] live matrix.
     # aabb cols are (bmin - eye, bmax - eye): per axis the reachable
@@ -199,6 +200,9 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm,
         out_p[0, sr, sc] = jnp.where(better, p_best, out_p[0, sr, sc])
         out_u[0, sr, sc] = jnp.where(better, u_best, out_u[0, sr, sc])
         out_v[0, sr, sc] = jnp.where(better, v_best, out_v[0, sr, sc])
+        # occlusion bookkeeping: once every ray in this subtile has a hit,
+        # pairs whose conservative entry-t exceeds the slowest ray are dead
+        tmax_s[s] = jnp.max(new_t)
 
     for j in range(G):
         bits_j = bits_col[j]
@@ -210,10 +214,16 @@ def _kernel(g_ct, g_first, dirs, slab, aabb, out_t, out_p, out_u, out_v, dm,
             def s_cond(bits):
                 return bits != 0
 
+            tlb_j = p_tlb[g * G + j]
+
             def s_body(bits):
                 low = bits & (-bits)
                 s = 31 - lax.clz(low.astype(jnp.uint32)).astype(I32)
-                sweep(j, s)
+
+                @pl.when(tlb_j < tmax_s[s])
+                def _():
+                    sweep(j, s)
+
                 return bits & (bits - 1)
 
             lax.while_loop(s_cond, s_body, bits_j)
@@ -238,17 +248,18 @@ def _prepare_pairs(eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, group):
     # column count: multiple of the group size so every padded slot in
     # [0, total) is claimed by exactly one (ct, rank) entry
     cc = max(group, ((min(cand_cap, nt) + group - 1) // group) * group)
-    cand = jnp.where(
-        jnp.arange(key_s.shape[1], dtype=I32)[None, :] < counts[:, None],
-        tid_s,
-        -1,
-    )
+    in_cnt = jnp.arange(key_s.shape[1], dtype=I32)[None, :] < counts[:, None]
+    cand = jnp.where(in_cnt, tid_s, -1)
+    tlb = jnp.where(in_cnt, key_s, BIG)
     if cand.shape[1] >= cc:
         cand = cand[:, :cc]
+        tlb = tlb[:, :cc]
     else:
+        fill = cc - cand.shape[1]
         cand = jnp.concatenate(
-            [cand, jnp.full((n_ct, cc - cand.shape[1]), -1, I32)], axis=1
+            [cand, jnp.full((n_ct, fill), -1, I32)], axis=1
         )
+        tlb = jnp.concatenate([tlb, jnp.full((n_ct, fill), BIG, F32)], axis=1)
 
     # groups of G per coarse tile, at least one group each
     pc = jnp.maximum(
@@ -265,26 +276,31 @@ def _prepare_pairs(eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, group):
     ct_ids = jnp.broadcast_to(
         jnp.arange(n_ct, dtype=I32)[:, None], slot.shape
     )
-    _, p_tid, p_ct = lax.sort(
-        (slot.reshape(-1), cand.reshape(-1), ct_ids.reshape(-1)), num_keys=1
+    _, p_tid, p_ct, p_tlb = lax.sort(
+        (slot.reshape(-1), cand.reshape(-1), ct_ids.reshape(-1),
+         tlb.reshape(-1)),
+        num_keys=1,
     )
     if p_tid.shape[0] < pair_cap:
         pad = pair_cap - p_tid.shape[0]
         p_tid = jnp.concatenate([p_tid, jnp.full((pad,), -1, I32)])
         p_ct = jnp.concatenate([p_ct, jnp.full((pad,), n_ct - 1, I32)])
+        p_tlb = jnp.concatenate([p_tlb, jnp.full((pad,), BIG, F32)])
     else:
         p_tid = p_tid[:pair_cap]
         p_ct = p_ct[:pair_cap]
+        p_tlb = p_tlb[:pair_cap]
     # entries past `total` carry junk ct: pin them to the LAST coarse tile
     # so they never re-init an earlier tile's accumulators
     pos = jnp.arange(pair_cap, dtype=I32)
     p_tid = jnp.where(pos < total, p_tid, -1)
     p_ct = jnp.where(pos < total, p_ct, n_ct - 1)
+    p_tlb = jnp.where(pos < total, p_tlb, BIG)
 
     g_ct = p_ct.reshape(-1, group)[:, 0]
     g_prev = jnp.concatenate([jnp.full((1,), -1, I32), g_ct[:-1]])
     g_first = (g_ct != g_prev).astype(I32)
-    return p_tid, g_ct, g_first, overflow
+    return p_tid, p_tlb, g_ct, g_first, overflow
 
 
 def render_raster_tpu(
@@ -357,7 +373,7 @@ def _render_tpu_impl(
     )  # [CT, 4096, 3]
     dirs_ct = dirs_ct.transpose(0, 2, 1)  # [CT, 3, 4096]
 
-    p_tid, g_ct, g_first, overflow = _prepare_pairs(
+    p_tid, p_tlb, g_ct, g_first, overflow = _prepare_pairs(
         eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, G
     )
 
@@ -379,29 +395,32 @@ def _render_tpu_impl(
         jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, RPC), lambda g, gc, gf: (gc[g], 0, 0),
+                (1, 3, RPC), lambda g, gc, gf, tl: (gc[g], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, 4, 6 * L), lambda g, gc, gf: (g, 0, 0),
+                (G, 4, 6 * L), lambda g, gc, gf, tl: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, 8), lambda g, gc, gf: (g, 0), memory_space=pltpu.VMEM
+                (G, 8), lambda g, gc, gf, tl: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 8, RPC // 8), lambda g, gc, gf: (gc[g], 0, 0),
+                (1, 8, RPC // 8), lambda g, gc, gf, tl: (gc[g], 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
         * 4,
-        scratch_shapes=[pltpu.VMEM((8, max(NSUB, 128)), F32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, max(NSUB, 128)), F32),
+            pltpu.SMEM((NSUB,), F32),
+        ],
     )
     from functools import partial as _partial
 
@@ -410,7 +429,7 @@ def _render_tpu_impl(
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(g_ct, g_first, dirs_ct, pair_slab, pair_aabb)
+    )(g_ct, g_first, p_tlb, dirs_ct, pair_slab, pair_aabb)
 
     flat = lambda x: _from_coarse_layout(
         x.reshape(n_ct, RPC)[:, :, None], width, height

@@ -100,7 +100,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     min_level = min(max(0, math.floor(math.log2(radius + 2))), levels)
     table = _build_table(leaf_min, leaf_max, levels, min_level)
 
-    cap = min(m, max(64, m // 6))
+    cap = min(m, max(64, m // 12))
     n_long = jnp.sum((~short).astype(I32))
 
     def compact_path(_):
