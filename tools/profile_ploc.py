@@ -1,0 +1,74 @@
+"""PLOC round cost by stage size on the real TPU."""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu_bvh.models import lbvh
+from tpu_bvh.ops import ploc
+from tpu_bvh.utils import scenes
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    np.asarray(f())
+    return time.perf_counter() - t0
+
+
+def slope(make_loop, k_lo=2, k_hi=10, reps=3):
+    f_lo = jax.jit(make_loop(k_lo))
+    f_hi = jax.jit(make_loop(k_hi))
+    np.asarray(f_lo())
+    np.asarray(f_hi())
+    lo = min(_t(f_lo) for _ in range(reps))
+    hi = min(_t(f_hi) for _ in range(reps))
+    return (hi - lo) / (k_hi - k_lo) * 1e3
+
+
+def main():
+    tris = jnp.asarray(scenes.sponza_like(262_000))
+    codes, leaf_min, leaf_max, _ = jax.jit(
+        lambda t: lbvh._sorted_leaves_from_tris(t, True)
+    )(tris)
+    n = leaf_min.shape[0]
+
+    for size in (262_144, 65_536, 16_384, 4_096):
+        sz = min(size, n)
+        cols = [
+            leaf_min[:sz, 0], leaf_min[:sz, 1], leaf_min[:sz, 2],
+            -leaf_max[:sz, 0], -leaf_max[:sz, 1], -leaf_max[:sz, 2],
+        ]
+        cnode = jnp.arange(sz, dtype=jnp.int32) + (n - 1)
+        nodes = jnp.zeros((2 * n, 8), jnp.float32)
+        state0 = (
+            jnp.asarray(sz, jnp.int32), cnode, codes[:sz],
+            jnp.asarray(32, jnp.int32), cols, nodes,
+        )
+
+        def mk(k, state0=state0):
+            def run():
+                def body(i, s):
+                    (nc, cn, cc, sb, cl, nd) = s
+                    s2 = ploc._round((nc, cn, cc + i.astype(jnp.uint32), sb, cl, nd), 8)
+                    # keep cluster count fixed so every iteration does the
+                    # same-size work (ignore the real shrink)
+                    return (nc, s2[1], s2[2], sb, s2[4], s2[5])
+
+                out = lax.fori_loop(0, k, body, state0)
+                return out[1][0] + out[5][0, 0]
+            return run
+
+        ms = slope(mk)
+        print(f"one PLOC round @ {sz:>7}: {ms:7.3f} ms", flush=True)
+
+    # count rounds for the real build (host loop replication)
+    from tpu_bvh.ops.ploc import _STAGE_RATIO, _MIN_STAGE
+    print(f"stage ratio {_STAGE_RATIO}, min stage {_MIN_STAGE}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

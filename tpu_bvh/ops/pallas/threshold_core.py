@@ -293,3 +293,199 @@ def psv_nsv_packed_auto(dlt):
         # ride the shuffle network; sublane rolls are tile copies)
         return psv_nsv_packed_lanes(dlt, chunk=2048)
     return psv_nsv_packed_reference(dlt)
+
+
+# ---------------------------------------------------------------------------
+# Payload-carrying variants: alongside psv/nsv they return an arbitrary i32
+# payload evaluated AT the psv/nsv position (payload[psv(i)], payload[nsv(i)]).
+# This is how "value of f at my parent" queries avoid gathers entirely: the
+# Karras relabeling needs pi[parent] for every node (a 2m-row gather, ~4.6 ms
+# at 262K); riding the scan costs one extra kernel pass (~1 ms).
+# ---------------------------------------------------------------------------
+
+
+def _psv_kernel_lanes_pay(dlt_ref, pay_ref, out_ref, outp_ref, carry_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, -1)
+
+    dlt = dlt_ref[0:1, :]
+    pay = pay_ref[0:1, :]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = i * c + lanes
+    packed = g * 64 + dlt
+    x = jnp.where(dlt < subl, packed, -1)
+    p = jnp.where(dlt < subl, pay, -1)
+
+    k = 1
+    while k < c:
+        rx = pltpu.roll(x, k, axis=1)
+        rp = pltpu.roll(p, k, axis=1)
+        take = (lanes >= k) & (rx > x)
+        x = jnp.where(take, rx, x)
+        p = jnp.where(take, rp, p)
+        k <<= 1
+    cx = carry_ref[:, 0:1]
+    cp = carry_ref[:, 1:2]
+    tc = cx > x
+    x = jnp.where(tc, cx, x)
+    p = jnp.where(tc, cp, p)
+    ex = jnp.where(lanes >= 1, pltpu.roll(x, 1, axis=1), cx)
+    ep = jnp.where(lanes >= 1, pltpu.roll(p, 1, axis=1), cp)
+    selx = jnp.where(dlt == subl, ex, -_BIG)
+    selp = jnp.where(dlt == subl, ep, -_BIG)
+    out_ref[:] = jnp.max(selx, axis=0, keepdims=True)
+    outp_ref[:] = jnp.max(selp, axis=0, keepdims=True)
+    carry_ref[:, 0:1] = x[:, c - 1 : c]
+    carry_ref[:, 1:2] = p[:, c - 1 : c]
+
+
+def _nsv_kernel_lanes_pay(dlt_ref, pay_ref, out_ref, outp_ref, carry_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+    nchunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:, 0:1] = jnp.full_like(carry_ref[:, 0:1], _BIG)
+        carry_ref[:, 1:2] = jnp.full_like(carry_ref[:, 1:2], -1)
+
+    dlt = dlt_ref[0:1, :]
+    pay = pay_ref[0:1, :]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = (nchunks - 1 - i) * c + lanes
+    packed = g * 64 + dlt
+    x = jnp.where(dlt < subl, packed, _BIG)
+    p = jnp.where(dlt < subl, pay, -1)
+
+    k = 1
+    while k < c:
+        rx = pltpu.roll(x, c - k, axis=1)
+        rp = pltpu.roll(p, c - k, axis=1)
+        take = (lanes < c - k) & (rx < x)
+        x = jnp.where(take, rx, x)
+        p = jnp.where(take, rp, p)
+        k <<= 1
+    cx = carry_ref[:, 0:1]
+    cp = carry_ref[:, 1:2]
+    tc = cx < x
+    x = jnp.where(tc, cx, x)
+    p = jnp.where(tc, cp, p)
+    ex = jnp.where(lanes < c - 1, pltpu.roll(x, c - 1, axis=1), cx)
+    ep = jnp.where(lanes < c - 1, pltpu.roll(p, c - 1, axis=1), cp)
+    selx = jnp.where(dlt == subl, ex, _BIG)
+    selp = jnp.where(dlt == subl, ep, -_BIG)
+    out_ref[:] = jnp.min(selx, axis=0, keepdims=True)
+    # payload rides the same decisions; one-hot rows leave exactly one live
+    # lane, so max-select works for the payload regardless of its ordering
+    outp_ref[:] = jnp.max(selp, axis=0, keepdims=True)
+    carry_ref[:, 0:1] = x[:, 0:1]
+    carry_ref[:, 1:2] = p[:, 0:1]
+
+
+def _run_lanes_pay(kernel, dlt, pay, reverse, pad_value, interpret, chunk):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = dlt.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        filler = jnp.full((pad,), pad_value, jnp.int32)
+        pfill = jnp.full((pad,), -1, jnp.int32)
+        if not reverse:
+            dlt = jnp.concatenate([dlt, filler])
+            pay = jnp.concatenate([pay, pfill])
+        else:
+            dlt = jnp.concatenate([filler, dlt])
+            pay = jnp.concatenate([pfill, pay])
+    mp = dlt.shape[0]
+    chunks = mp // chunk
+    if reverse:
+        index_map = lambda i: (0, chunks - 1 - i)
+    else:
+        index_map = lambda i: (0, i)
+    out, outp = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((V, 2), jnp.int32)],
+        interpret=interpret,
+    )(dlt.reshape(1, mp), pay.reshape(1, mp))
+    out = out.reshape(mp)
+    outp = outp.reshape(mp)
+    if pad:
+        if not reverse:
+            out = out[:m]
+            outp = outp[:m]
+        else:
+            out = out[pad:]
+            outp = outp[pad:]
+            out = jnp.where(out != _BIG, out - pad * 64, out)
+    return out, outp
+
+
+def psv_nsv_payload_reference(dlt, pay):
+    """XLA oracle: (psv_packed, pay[psv], nsv_packed, pay[nsv]); payload -1
+    where no smaller value exists."""
+    m = dlt.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    packed = pos * 64 + dlt
+    vr = jnp.arange(V, dtype=jnp.int32)
+    maskv = dlt[:, None] < vr[None, :]
+
+    pk = jnp.where(maskv, packed[:, None], _BIG)
+    pp = jnp.where(maskv, pay[:, None], -1)
+    # suffix min with payload: emulate with argmin-free packing — payload
+    # rides key decisions via a second cummin on (key, tiebroken) pairs.
+    # Use cumulative scan via lax.associative... instead do the simple
+    # two-array trick: scan keys, then recompute payload by equality.
+    suf = lax.cummin(pk, axis=0, reverse=True)
+    nsv_rows = jnp.concatenate([suf[1:], jnp.full((1, V), _BIG, jnp.int32)], 0)
+    pk2 = jnp.where(maskv, packed[:, None], jnp.int32(-1))
+    pre = lax.cummax(pk2, axis=0)
+    psv_rows = jnp.concatenate([jnp.full((1, V), -1, jnp.int32), pre[:-1]], 0)
+    onehot = dlt[:, None] == vr[None, :]
+    nsv = jnp.sum(jnp.where(onehot, nsv_rows, 0), axis=1)
+    psv = jnp.sum(jnp.where(onehot, psv_rows, 0), axis=1)
+    # payload at position: positions are packed>>6; safe gather is fine as
+    # the ORACLE (CPU/testing only)
+    has_n = nsv != _BIG
+    has_p = psv >= 0
+    np_ = jnp.where(has_n, pay[jnp.clip(nsv >> 6, 0, m - 1)], -1)
+    pp_ = jnp.where(has_p, pay[jnp.clip(psv >> 6, 0, m - 1)], -1)
+    return psv, pp_, nsv, np_
+
+
+def psv_nsv_payload_auto(dlt, pay):
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+        psv, psv_pay = _run_lanes_pay(
+            _psv_kernel_lanes_pay, dlt, pay, False, 63, False, 2048
+        )
+        nsv, nsv_pay = _run_lanes_pay(
+            _nsv_kernel_lanes_pay, dlt, pay, True, 63, False, 2048
+        )
+        return psv, psv_pay, nsv, nsv_pay
+    return psv_nsv_payload_reference(dlt, pay)

@@ -270,6 +270,38 @@ def _threshold_core(codes):
     return dlt, psv + 1, nsv, psv_val, nsv_val, psv
 
 
+
+def _karras_parent_kp(codes, dlt, first, last, psv, nsv, psv_val, nsv_val, is_root):
+    """Karras index of every node's parent, WITHOUT the 2m-row gather.
+
+    pi (the apetrei->karras relabel) is known densely; pi[parent] is
+    "pi evaluated at my psv/nsv position", which rides a payload-carrying
+    PSV/NSV scan (`threshold_core.psv_nsv_payload_auto`) — one extra kernel
+    pass (~1 ms at 262K) instead of a 2m-row gather (~4.6 ms).
+    Returns (kp_internal i32[m], kp_leaf i32[n], internal_is_right,
+    leaf_is_right, pi)."""
+    n = codes.shape[0]
+    m = n - 1
+    internal_is_right = psv_val > nsv_val
+    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+
+    from .pallas.threshold_core import psv_nsv_payload_auto
+
+    _, pi_at_psv, _, pi_at_nsv = psv_nsv_payload_auto(dlt, pi)
+    kp_internal = jnp.where(internal_is_right, pi_at_psv, pi_at_nsv)
+
+    jdx = jnp.arange(n, dtype=I32)
+    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
+    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
+    leaf_is_right = ldl > ldr
+    # leaf j's parent is boundary j-1 (right child) or j (left child) —
+    # both dense shifts of pi
+    pi_at_j = jnp.concatenate([pi, pi[-1:]])  # pi[min(j, m-1)]
+    pi_at_jm1 = jnp.concatenate([pi[:1], pi])[:n]  # pi[max(j-1, 0)]
+    kp_leaf = jnp.where(leaf_is_right, pi_at_jm1, pi_at_j)
+    return kp_internal, kp_leaf, internal_is_right, leaf_is_right, pi
+
+
 def karras_topology_fast(codes):
     """Karras node layout emitted by the gather-free threshold-scan core.
 
@@ -285,27 +317,14 @@ def karras_topology_fast(codes):
     m = n - 1
     dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
     nsv = last
-    idx = jnp.arange(m, dtype=I32)
     is_root = (first == 0) & (last == n - 1)
-    internal_is_right = psv_val > nsv_val
-    parent_internal = jnp.where(internal_is_right, psv, nsv)
-
-    # bijection: apetrei (split) index -> karras index
-    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+    kp_internal, kp_leaf, internal_is_right, leaf_is_right, pi = (
+        _karras_parent_kp(
+            codes, dlt, first, last, psv, nsv, psv_val, nsv_val, is_root
+        )
+    )
 
     jdx = jnp.arange(n, dtype=I32)
-    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
-    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
-    leaf_is_right = ldl > ldr
-    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
-
-    # karras index of each child's parent: one concatenated gather of pi
-    kp = pi[
-        jnp.clip(jnp.concatenate([parent_internal, parent_leaf]), 0, m - 1)
-    ]
-    kp_internal = kp[:m]
-    kp_leaf = kp[m:]
-
     key_internal = jnp.where(
         is_root, I32(2 * m), internal_is_right.astype(I32) * m + kp_internal
     )
@@ -386,22 +405,15 @@ def karras_build(codes, leaf_min, leaf_max):
     dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
     nsv = last
     is_root = (first == 0) & (last == n - 1)
-    internal_is_right = psv_val > nsv_val
-    parent_internal = jnp.where(internal_is_right, psv, nsv)
-    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+    kp_internal, kp_leaf, internal_is_right, leaf_is_right, pi = (
+        _karras_parent_kp(
+            codes, dlt, first, last, psv, nsv, psv_val, nsv_val, is_root
+        )
+    )
 
     int_min_b, int_max_b = _refit.refit_anchored(leaf_min, leaf_max, first, last)
 
     jdx = jnp.arange(n, dtype=I32)
-    ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
-    ldr = jnp.concatenate([dlt, jnp.full((1,), -1, I32)])
-    leaf_is_right = ldl > ldr
-    parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
-
-    kp = pi[jnp.clip(jnp.concatenate([parent_internal, parent_leaf]), 0, m - 1)]
-    kp_internal = kp[:m]
-    kp_leaf = kp[m:]
-
     key_internal = jnp.where(
         is_root, I32(2 * m), internal_is_right.astype(I32) * m + kp_internal
     )
