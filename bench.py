@@ -24,6 +24,15 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: tunneled TPU compiles cost 15-100 s per shape,
+# so reuse executables across invocations
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

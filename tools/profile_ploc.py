@@ -43,7 +43,7 @@ def main():
             -leaf_max[:sz, 0], -leaf_max[:sz, 1], -leaf_max[:sz, 2],
         ]
         cnode = jnp.arange(sz, dtype=jnp.int32) + (n - 1)
-        nodes = jnp.zeros((2 * n, 8), jnp.float32)
+        nodes = jnp.zeros((8, 2 * n), jnp.float32)
         state0 = (
             jnp.asarray(sz, jnp.int32), cnode, codes[:sz],
             jnp.asarray(32, jnp.int32), cols, nodes,
@@ -59,7 +59,7 @@ def main():
                     return (nc, s2[1], s2[2], sb, s2[4], s2[5])
 
                 out = lax.fori_loop(0, k, body, state0)
-                return out[1][0] + out[5][0, 0]
+                return out[1][0].astype(jnp.float32) + out[5][0, 0]
             return run
 
         ms = slope(mk)
@@ -68,6 +68,24 @@ def main():
     # count rounds for the real build (host loop replication)
     from tpu_bvh.ops.ploc import _STAGE_RATIO, _MIN_STAGE
     print(f"stage ratio {_STAGE_RATIO}, min stage {_MIN_STAGE}", flush=True)
+
+    # sort cost vs payload operand count at 262K
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(0, 2**31, 262_144), jnp.uint32)
+    for n_pay in (1, 4, 8):
+        pays = [jnp.asarray(rng.normal(size=262_144), jnp.float32)
+                for _ in range(n_pay)]
+
+        def mk(k, pays=pays):
+            def run():
+                def body(i, acc):
+                    out = lax.sort(tuple([keys + i.astype(jnp.uint32)] + pays),
+                                   num_keys=1, is_stable=True)
+                    return acc + out[1][0]
+                return lax.fori_loop(0, k, body, 0.0)
+            return run
+
+        print(f"sort 262K + {n_pay} payloads: {slope(mk):7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

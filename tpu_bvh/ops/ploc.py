@@ -19,10 +19,12 @@ Performance shape (TPU v5e): random gathers cost ~60x a dense op, so every
 neighbor access exploits that PLOC neighbors live within +-radius in sorted
 order: `nn[i]`, `cnode[nn[i]]`, `aabb[nn[i]]` are (2R+1)-way dense selects
 over shifted arrays, never gathers. Cluster state is struct-of-columns;
-compaction is one stable multi-operand sort; each round's merged nodes are
-emitted with a single packed row scatter. The outer loop runs in *stages*
-of geometrically shrinking static array sizes (clusters stay compacted at
-the front), so late rounds don't pay full-width work.
+compaction is one stable multi-operand sort; each round's merged nodes get
+a contiguous id slab and are emitted with a blended dynamic-slice write
+into a lane-major buffer (a row scatter costs ~1.4 ms flat on TPU). The
+outer loop runs in *stages* of geometrically shrinking static array sizes
+(clusters stay compacted at the front), so late rounds don't pay
+full-width work.
 
 Merged nodes are allocated top-down (`nClusters - 2 - prefix`,
 `Ploc++Kernel.h:311`) so the root lands at index 0 — the same convention,
@@ -48,7 +50,7 @@ I32 = jnp.int32
 U32 = jnp.uint32
 INVALID = jnp.int32(-1)
 _BIG = jnp.float32(3.0e38)
-_STAGE_RATIO = 4
+_STAGE_RATIO = 2
 _MIN_STAGE = 4096
 
 
@@ -77,40 +79,53 @@ def _area6(c):
 
 def _round(state, radius: int):
     """One PLOC merge round over column state. All neighbor access is by
-    bounded offset -> dense shifted selects."""
+    bounded offset: the six AABB columns (plus seg/cnode/rel rows) are
+    packed once into lane-major padded matrices so every +-d neighbor view
+    is a `dynamic_slice` window — per-column `concatenate` shifts
+    materialized ~100 copies per round (~1 ms at 262K; the window form
+    measures ~free, cf. refit's dense phase)."""
     (n_clusters, cnode, ccode, shift_bits, cols, nodes) = state
     size = cnode.shape[0]
+    R = radius
     idx = jnp.arange(size, dtype=I32)
     valid = idx < n_clusters
     seg = jnp.where(
         shift_bits >= 32, U32(0), ccode >> shift_bits.astype(U32)
     )
 
+    # lane-major padded views: mat rows 0..5 = AABB cols, 6 = seg bits,
+    # 7 = cnode bits (f32-bitcast payloads so one matrix serves all)
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: lax.bitcast_convert_type(x, I32)
+    mat = jnp.stack(
+        list(cols) + [as_f(seg.astype(I32)), as_f(cnode)], axis=0
+    )  # [8, size]
+    pad = jnp.full((8, R), _BIG)
+    matp = jnp.concatenate([pad, mat, pad], axis=1)  # [8, size + 2R]
+
+    def win(d):
+        """matp window shifted by d: w[:, i] = mat[:, i + d] (pad beyond)."""
+        return lax.dynamic_slice(matp, (0, R + d), (8, size))
+
     # --- nearest neighbors: forward pairs (i, i+d), considered from both ends
     best_area = jnp.full((size,), _BIG)
     best_rel = jnp.zeros((size,), I32)  # relative offset of best neighbor
 
-    for d in range(1, radius + 1):
-        shifted = [_shift(c, d, _BIG) for c in cols]
-        u = [jnp.minimum(a, b) for a, b in zip(cols, shifted)]
+    for d in range(1, R + 1):
+        w = win(d)
+        u = [jnp.minimum(cols[k], w[k]) for k in range(6)]
         area = _area6(u)
-        ok = valid & (idx + d < n_clusters) & (seg == _shift(seg, d, U32(0xFFFFFFFF)))
+        ok = valid & (idx + d < n_clusters) & (seg == as_i(w[6]).astype(U32))
         area = jnp.where(ok, area, _BIG)
-        # forward candidate for i: neighbor i+d (index tie-break: smaller
-        # neighbor index wins on equal area -> prefer existing on tie
-        # unless strictly smaller; among same-i candidates, increasing d
-        # keeps the smaller index first)
+        # forward candidate for i: neighbor i+d
         better = area < best_area
         best_area = jnp.where(better, area, best_area)
         best_rel = jnp.where(better, d, best_rel)
-        # backward candidate for i+d: neighbor (i+d)-d; shift area/ok right
+        # backward candidate for i+d: neighbor (i+d)-d; shift area right.
+        # On equal areas the SMALLER absolute neighbor id wins (the
+        # reference's packed (area_bits << 32 | index) atomicMin order,
+        # `Ploc++Kernel.h:140-146`).
         area_b = _shift(area, -d, _BIG)
-        # on ties the SMALLER index wins: a backward neighbor (i-d) beats an
-        # equal-area forward one, and farther backward loses to nearer
-        # backward processed earlier... reference order: min over packed
-        # (area, index): index = absolute neighbor id. For i: forward nbr
-        # id = i+d (larger), backward id = i-d (smaller). Equal areas ->
-        # smallest id wins = most-negative rel.
         better_b = (area_b < best_area) | (
             (area_b == best_area) & (idx - d < idx + best_rel)
         )
@@ -119,13 +134,16 @@ def _round(state, radius: int):
 
     has_nn = best_area < _BIG
     # nn[nn[i]] via (2R+1)-way dense select on the bounded offset
+    relp = jnp.concatenate(
+        [jnp.zeros((1, R), I32), best_rel[None, :], jnp.zeros((1, R), I32)],
+        axis=1,
+    )
     rel_at_nn = jnp.zeros((size,), I32)
-    for r in range(-radius, radius + 1):
+    for r in range(-R, R + 1):
         if r == 0:
             continue
-        rel_at_nn = jnp.where(
-            best_rel == r, _shift(best_rel, r, 0), rel_at_nn
-        )
+        shifted_rel = lax.dynamic_slice(relp, (0, R + r), (1, size))[0]
+        rel_at_nn = jnp.where(best_rel == r, shifted_rel, rel_at_nn)
     mutual = has_nn & valid & (rel_at_nn == -best_rel)
     merge = mutual & (best_rel > 0)  # left partner (smaller index) merges
     dropped = mutual & (best_rel < 0)
@@ -142,19 +160,19 @@ def _round(state, radius: int):
     slab_start = n_clusters - 1 - n_merged
     new_id = slab_start + rank
 
-    # partner data via bounded-offset selects
+    # partner data via bounded-offset window selects
     rnode = jnp.zeros_like(cnode)
     pcols = [jnp.zeros_like(c) for c in cols]
-    for r in range(1, radius + 1):
+    for r in range(1, R + 1):
         sel = best_rel == r
-        rnode = jnp.where(sel, _shift(cnode, r, INVALID), rnode)
+        w = win(r)
+        rnode = jnp.where(sel, as_i(w[7]), rnode)
         for k in range(6):
-            pcols[k] = jnp.where(sel, _shift(cols[k], r, _BIG), pcols[k])
+            pcols[k] = jnp.where(sel, w[k], pcols[k])
     ucols = [jnp.minimum(a, b) for a, b in zip(cols, pcols)]
 
     # emit merged nodes: compact rows to the front (stable sort keeps rank
     # order), then blend the slab into the (over-allocated) nodes buffer
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     emit = lax.sort(
         tuple(
             [(~merge).astype(U32), as_f(cnode), as_f(rnode)] + list(ucols)
@@ -162,12 +180,14 @@ def _round(state, radius: int):
         num_keys=1,
         is_stable=True,
     )
-    rows = jnp.stack(emit[1:], axis=1)  # [size, 8], merged rows first
+    # nodes buffer is lane-major [8, 2n]: [size, 8]-minor windows pay a 16x
+    # lane-pad write amplification
+    rows = jnp.stack(emit[1:], axis=0)  # [8, size], merged rows first
     start = jnp.maximum(slab_start, 0)
-    window = lax.dynamic_slice(nodes, (start, 0), (size, 8))
+    window = lax.dynamic_slice(nodes, (0, start), (8, size))
     j = jnp.arange(size, dtype=I32)
-    window = jnp.where((j < n_merged)[:, None], rows, window)
-    nodes = lax.dynamic_update_slice(nodes, window, (start, 0))
+    window = jnp.where((j < n_merged)[None, :], rows, window)
+    nodes = lax.dynamic_update_slice(nodes, window, (0, start))
 
     # survivors: merged cluster replaces its left partner
     cnode = jnp.where(merge, new_id, jnp.where(valid & ~dropped, cnode, INVALID))
@@ -214,9 +234,9 @@ def ploc_build_topology(
         -leaf_max[:, 1],
         -leaf_max[:, 2],
     ]
-    # packed emit buffer, over-allocated by the largest stage size so the
-    # blended slab write's window never clamps at the top end
-    nodes = jnp.zeros((n_internal + n, 8), jnp.float32)
+    # packed emit buffer (lane-major), over-allocated by the largest stage
+    # size so the blended slab write's window never clamps at the top end
+    nodes = jnp.zeros((8, n_internal + n), jnp.float32)
 
     state = (jnp.asarray(n, I32), init_nodes, codes, shift0, cols, nodes)
 
@@ -251,10 +271,10 @@ def ploc_build_topology(
             )
 
     (_, _, _, _, _, nodes) = state
-    nodes = nodes[:n_internal]
+    nodes = nodes[:, :n_internal]
     as_i = lambda x: lax.bitcast_convert_type(x, I32)
-    left = as_i(nodes[:, 0])
-    right = as_i(nodes[:, 1])
-    imin = nodes[:, 2:5]
-    imax = -nodes[:, 5:8]
+    left = as_i(nodes[0])
+    right = as_i(nodes[1])
+    imin = nodes[2:5].T
+    imax = -nodes[5:8].T
     return left, right, imin, imax
