@@ -76,6 +76,9 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     n = leaf_min.shape[0]
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
+    # long nodes have len > radius+1; the fine level-4 end-windows require
+    # len >= 16 so they never overshoot `last`
+    assert radius >= 15, "two-level table query requires dense radius >= 15"
     i = jnp.arange(m, dtype=I32)
     packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
 
@@ -94,14 +97,62 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         valid = (j >= first) & (j <= last)
         acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
 
-    # a long node's range exceeds the dense radius, so its table query never
-    # uses levels below floor(log2(radius+2)) — don't stack them
-    levels = max(1, math.ceil(math.log2(max(n, 2))))
-    min_level = min(max(0, math.floor(math.log2(radius + 2))), levels)
-    table = _build_table(leaf_min, leaf_max, levels, min_level)
+    # Long nodes (range exceeds the dense radius) resolve with a TWO-LEVEL
+    # table: a single fine level-4 row (T4[i] = min over [i, i+16)) covers
+    # both range ends, and a coarse lifting table over block-16 mins covers
+    # the fully-contained middle blocks. Fine + coarse are assembled into
+    # ONE [n + (Lc+1)*nb, 6] row table by a single lane-major concatenate +
+    # transpose, which XLA lowers to a layout *bitcast* — stacking all fine
+    # levels the same way costs ~0.55 ms of concat bandwidth, and building
+    # the coarse table as a separate gather operand makes XLA relayout it
+    # into VMEM with ~13 ms of padded dynamic-update-slice copies (measured;
+    # see tools/proto_refit3*.py).
+    pt = packed.T  # [6, n]
+    cur = pt
+    for k in range(1, 5):
+        s = 1 << (k - 1)
+        if s < n:
+            shifted = jnp.concatenate(
+                [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
+            )
+            cur = jnp.minimum(cur, shifted)
+    nb = (n + 15) // 16
+    padn = nb * 16
+    ptp = pt if padn == n else jnp.concatenate(
+        [pt, jnp.full((6, padn - n), big)], axis=1
+    )
+    c0 = ptp.reshape(6, nb, 16).min(axis=2)  # exact block-16 leaf mins
+    levels_c = max(1, math.ceil(math.log2(max(nb, 2))))
+    ctabs = [cur, c0]
+    ccur = c0
+    for k in range(1, levels_c + 1):
+        s = 1 << (k - 1)
+        if s < nb:
+            shifted = jnp.concatenate(
+                [ccur[:, s:], jnp.broadcast_to(ccur[:, -1:], (6, s))], axis=1
+            )
+            ccur = jnp.minimum(ccur, shifted)
+        ctabs.append(ccur)
+    table_rows = jnp.concatenate(ctabs, axis=1).T  # rows: [T4 | coarse lvls]
 
     cap = min(m, max(64, m // 12))
     n_long = jnp.sum((~short).astype(I32))
+
+    def query(cf, cl):
+        # ends: two fine level-4 windows [cf, cf+16) and (cl-16, cl]
+        u = jnp.minimum(table_rows[cf], table_rows[jnp.maximum(cl - 15, 0)])
+        # middle: blocks fully inside [cf, cl] via the coarse lifting table
+        bf = (cf + 15) >> 4
+        bl = ((cl + 1) >> 4) - 1
+        has_mid = bl >= bf  # guaranteed when cl - cf + 1 >= 32
+        bfs = jnp.minimum(bf, nb - 1)
+        cnt = jnp.maximum(bl - bfs + 1, 1)
+        kc = _floor_log2(cnt)
+        b2 = jnp.maximum(bl - (1 << kc) + 1, 0)
+        uc = jnp.minimum(
+            table_rows[n + kc * nb + bfs], table_rows[n + kc * nb + b2]
+        )
+        return jnp.minimum(u, jnp.where(has_mid[:, None], uc, big))
 
     def compact_path(_):
         # long nodes to the front (stable sort), query the table for the
@@ -113,7 +164,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         _, cf, cl, cpos = lax.sort(
             (key, first, last, i), num_keys=1, is_stable=True
         )
-        ut = _query_table(table, n, cf[:cap], cl[:cap], min_level).T  # [6,cap]
+        ut = query(cf[:cap], cl[:cap]).T  # [6, cap]
         rank = jnp.arange(m, dtype=I32)
         in_long = rank < n_long
         pad = jnp.full((m - cap,), big)
@@ -125,7 +176,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         return list(back[1:])
 
     def full_path(_):
-        ut = _query_table(table, n, first, last, min_level).T
+        ut = query(first, last).T
         return [ut[k] for k in range(6)]
 
     long_cols = lax.cond(n_long <= cap, compact_path, full_path, None)
