@@ -77,29 +77,11 @@ def _area6(c):
     return 2.0 * (ex * ey + ex * ez + ey * ez)
 
 
-def _round(state, radius: int):
-    """One PLOC merge round over column state. All neighbor access is by
-    bounded offset: the six AABB columns (plus seg/cnode/rel rows) are
-    packed once into lane-major padded matrices so every +-d neighbor view
-    is a `dynamic_slice` window — per-column `concatenate` shifts
-    materialized ~100 copies per round (~1 ms at 262K; the window form
-    measures ~free, cf. refit's dense phase)."""
-    (n_clusters, cnode, ccode, shift_bits, cols, nodes) = state
-    size = cnode.shape[0]
-    R = radius
-    idx = jnp.arange(size, dtype=I32)
-    valid = idx < n_clusters
-    seg = jnp.where(
-        shift_bits >= 32, U32(0), ccode >> shift_bits.astype(U32)
-    )
-
-    # lane-major padded views: mat rows 0..5 = AABB cols, 6 = seg bits,
-    # 7 = cnode bits (f32-bitcast payloads so one matrix serves all)
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+def _nn_round_xla(mat, cols, seg, valid, idx, n_clusters, size, R):
+    """XLA fallback for the NN stage (CPU / interpret): bounded-offset
+    window views over a padded lane-major matrix. Same contract as
+    `pallas.ploc_nn.ploc_nn_round`."""
     as_i = lambda x: lax.bitcast_convert_type(x, I32)
-    mat = jnp.stack(
-        list(cols) + [as_f(seg.astype(I32)), as_f(cnode)], axis=0
-    )  # [8, size]
     pad = jnp.full((8, R), _BIG)
     matp = jnp.concatenate([pad, mat, pad], axis=1)  # [8, size + 2R]
 
@@ -148,6 +130,56 @@ def _round(state, radius: int):
     merge = mutual & (best_rel > 0)  # left partner (smaller index) merges
     dropped = mutual & (best_rel < 0)
 
+    # partner data via bounded-offset window selects
+    rnode = jnp.zeros((size,), I32)
+    pcols = [jnp.zeros((size,), jnp.float32) for _ in range(6)]
+    for r in range(1, R + 1):
+        sel = best_rel == r
+        w = win(r)
+        rnode = jnp.where(sel, as_i(w[7]), rnode)
+        for k in range(6):
+            pcols[k] = jnp.where(sel, w[k], pcols[k])
+    ucols = [jnp.minimum(a, b) for a, b in zip(cols, pcols)]
+    return merge, dropped, ucols, rnode
+
+
+def _round(state, radius: int):
+    """One PLOC merge round over column state. All neighbor access is by
+    bounded offset: the six AABB columns (plus seg/cnode/rel rows) are
+    packed once into lane-major padded matrices so every +-d neighbor view
+    is a `dynamic_slice` window — per-column `concatenate` shifts
+    materialized ~100 copies per round (~1 ms at 262K; the window form
+    measures ~free, cf. refit's dense phase)."""
+    (n_clusters, cnode, ccode, shift_bits, cols, nodes) = state
+    size = cnode.shape[0]
+    R = radius
+    idx = jnp.arange(size, dtype=I32)
+    valid = idx < n_clusters
+    seg = jnp.where(
+        shift_bits >= 32, U32(0), ccode >> shift_bits.astype(U32)
+    )
+
+    # lane-major padded views: mat rows 0..5 = AABB cols, 6 = seg bits,
+    # 7 = cnode bits (f32-bitcast payloads so one matrix serves all)
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: lax.bitcast_convert_type(x, I32)
+    mat = jnp.stack(
+        list(cols) + [as_f(seg.astype(I32)), as_f(cnode)], axis=0
+    )  # [8, size]
+
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon"):
+        # fused VMEM kernel: one read of mat instead of ~300 HBM-roundtrip
+        # ops (2.1 -> ~0.2 ms per round at 262K)
+        from .pallas.ploc_nn import ploc_nn_round
+
+        merge, dropped, uc, rnode = ploc_nn_round(mat, n_clusters, R)
+        ucols = [uc[k] for k in range(6)]
+    else:
+        merge, dropped, ucols, rnode = _nn_round_xla(
+            mat, cols, seg, valid, idx, n_clusters, size, R
+        )
+
     rank = jnp.cumsum(merge.astype(I32)) - merge.astype(I32)
     n_merged = jnp.sum(merge.astype(I32))
     # This round's nodes occupy the contiguous id slab
@@ -159,17 +191,6 @@ def _round(state, radius: int):
     # per round, the slab write is pure dense traffic.
     slab_start = n_clusters - 1 - n_merged
     new_id = slab_start + rank
-
-    # partner data via bounded-offset window selects
-    rnode = jnp.zeros_like(cnode)
-    pcols = [jnp.zeros_like(c) for c in cols]
-    for r in range(1, R + 1):
-        sel = best_rel == r
-        w = win(r)
-        rnode = jnp.where(sel, as_i(w[7]), rnode)
-        for k in range(6):
-            pcols[k] = jnp.where(sel, w[k], pcols[k])
-    ucols = [jnp.minimum(a, b) for a, b in zip(cols, pcols)]
 
     # emit merged nodes: compact rows to the front (stable sort keeps rank
     # order), then blend the slab into the (over-allocated) nodes buffer
