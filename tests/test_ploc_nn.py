@@ -66,3 +66,26 @@ def test_nn_kernel_no_cross_segment_merges():
         jnp.asarray(size, I32), size, 8,
     )
     np.testing.assert_array_equal(m, np.asarray(m1))
+
+
+@pytest.mark.parametrize("size,nc,nsegs", [(1024, 1024, 1), (1024, 900, 11)])
+def test_nn_kernel_multiblock(monkeypatch, size, nc, nsegs):
+    # force a 4-block grid so the halo/stencil path is exercised
+    from tpu_bvh.ops.pallas import ploc_nn
+    monkeypatch.setattr(ploc_nn, "_BLK", 256)
+    rng = np.random.default_rng(99)
+    mat, cols, seg, cnode = _mk_state(rng, size, nc, nsegs)
+    idx = jnp.arange(size, dtype=I32)
+    m1, d1, u1, r1 = ploc._nn_round_xla(
+        mat, [cols[k] for k in range(6)], seg, idx < nc, idx,
+        jnp.asarray(nc, I32), size, 8,
+    )
+    m2, d2, u2, r2 = ploc_nn.ploc_nn_round(mat, nc, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    merged = np.asarray(m1)
+    for k in range(6):
+        np.testing.assert_array_equal(
+            np.asarray(u1[k])[merged], np.asarray(u2[k])[merged]
+        )
+    np.testing.assert_array_equal(np.asarray(r1)[merged], np.asarray(r2)[merged])

@@ -2,17 +2,25 @@
 
 One PLOC round's dense compute — radius-R nearest-neighbor search over
 Morton-adjacent clusters, mutual-pair detection, and partner-union
-emission — re-expressed as a single VMEM-resident kernel. This is the TPU
-analog of the reference's shared-memory chunk work in the `Ploc` kernel
-(`/root/reference/src/Ploc++Kernel.h:220-321`): the smem chunk + 4R apron
-becomes the whole lane-major [8, S] state in VMEM, the atomicMin
+emission — re-expressed as a blocked VMEM-resident stencil kernel. This is
+the TPU analog of the reference's shared-memory chunk work in the `Ploc`
+kernel (`/root/reference/src/Ploc++Kernel.h:220-321`): the smem chunk with
+its 4x-radius apron becomes a [8, BLK] lane-major block plus a 128-lane
+halo on each side (fetched as clamped neighbor blocks), the atomicMin
 (area<<32|idx) encoding becomes plain f32 comparisons with the same
 smaller-index tie-break, and warp ballots disappear (the caller compacts
 with one stable sort).
 
 The unfused XLA version issues ~300 separate HBM-roundtrip ops per round
-(~2.1 ms at 262K clusters on v5e); here everything after the one [8, S]
-read stays in registers/VMEM (~0.2 ms).
+(~2.1 ms at 262K clusters on v5e); here everything after the blocked read
+stays in registers/VMEM.
+
+Halo correctness: a central lane i consumes best_rel at i +- R (for the
+mutual check), and best_rel at those lanes consumes cluster data at
+i +- 2R. With halo = 128 >= 2R (R <= 64) every consumed value is computed
+from in-window data; the outermost R halo lanes may read wrapped/garbage
+values but nothing central consumes them, and only the central block is
+written out.
 
 Layout contract (matches `ops.ploc._round`'s `mat`):
   rows 0..5  cluster AABB columns (min3, -max3)
@@ -29,26 +37,43 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
+_HALO = 128  # lanes of apron on each side; must be >= 2 * radius
+_BLK = 16384  # central block width: keeps roll/select transients inside
+# the 16 MB scoped-VMEM budget (32768 measured 20.9 MB on v5e)
 
 
-def _nn_kernel(nc_ref, mat_ref, out_ref, *, radius: int):
-    from jax.experimental.pallas import tpu as pltpu
-
+def _nn_kernel(nc_ref, left_ref, mid_ref, right_ref, out_ref, *, radius: int,
+               blk: int):
     R = radius
-    mat = mat_ref[:]  # [8, S]
+    H = _HALO
+    mat = jnp.concatenate(
+        [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+    )  # [8, blk + 2H] window
     s = mat.shape[1]
     nc = nc_ref[0]
     as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
 
-    lanes = lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    valid = lanes < nc
+    # global lane index of each window column (halo lanes go negative /
+    # past the end at the edges, where the clamped neighbor block repeats
+    # data — all guarded out below)
+    base = pl.program_id(0) * blk - H
+    lanes = base + lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    valid = (lanes >= 0) & (lanes < nc)
     cols = mat[0:6, :]
     seg = as_i(mat[6:7, :])
 
     best_area = jnp.full((1, s), _BIG, jnp.float32)
     best_rel = jnp.zeros((1, s), jnp.int32)
+    # partner rows ride the forward loop: whenever a forward candidate wins,
+    # its full row set is the partner candidate. A backward override makes
+    # best_rel negative, and negative-rel lanes never consume partner, so
+    # staleness is harmless — this halves the [8, s] roll count vs a
+    # separate partner-select pass.
+    partner = jnp.zeros((8, s), jnp.float32)
     areas = []  # forward-pair area per d (for the backward candidates)
     for d in range(1, R + 1):
         w = pltpu.roll(mat, s - d, axis=1)  # w[:, i] = mat[:, i + d] (circular)
@@ -63,6 +88,7 @@ def _nn_kernel(nc_ref, mat_ref, out_ref, *, radius: int):
         better = area < best_area
         best_area = jnp.where(better, area, best_area)
         best_rel = jnp.where(better, d, best_rel)
+        partner = jnp.where(better, w, partner)
     for d in range(1, R + 1):
         # backward candidate for cluster i: neighbor i-d, area computed at
         # lane i-d. On equal areas the smaller absolute neighbor id wins
@@ -78,31 +104,24 @@ def _nn_kernel(nc_ref, mat_ref, out_ref, *, radius: int):
         best_rel = jnp.where(better_b, -d, best_rel)
 
     has_nn = best_area < _BIG
-    # rel at my neighbor: best_rel[i + best_rel[i]] via (2R)-way select
-    rel_at_nn = jnp.zeros((1, s), jnp.int32)
-    for r in range(-R, R + 1):
-        if r == 0:
-            continue
-        shifted = pltpu.roll(best_rel, (s - r) % s, axis=1)
-        rel_at_nn = jnp.where(best_rel == r, shifted, rel_at_nn)
-    mutual = has_nn & valid & (rel_at_nn == -best_rel)
-    merge = mutual & (best_rel > 0)
-    dropped = mutual & (best_rel < 0)
-
-    # partner data for merging (left) clusters: positive offsets only
-    partner = jnp.zeros((7, s), jnp.float32)  # rows 0..5 cols, row 6 cnode
-    for r in range(1, R + 1):
-        sel = best_rel == r
-        w = pltpu.roll(mat, s - r, axis=1)
-        w7 = jnp.concatenate([w[0:6, :], w[7:8, :]], axis=0)
-        partner = jnp.where(sel, w7, partner)
+    # mutual pair (i, i+d): best_rel[i] == d and best_rel[i+d] == -d
+    merge = jnp.zeros((1, s), jnp.bool_)
+    dropped = jnp.zeros((1, s), jnp.bool_)
+    for d in range(1, R + 1):
+        br_fwd = pltpu.roll(best_rel, s - d, axis=1)  # best_rel[i + d]
+        br_bwd = pltpu.roll(best_rel, d, axis=1)  # best_rel[i - d]
+        merge = merge | ((best_rel == d) & (br_fwd == -d))
+        dropped = dropped | ((best_rel == -d) & (br_bwd == d))
+    merge = merge & has_nn & valid
+    dropped = dropped & has_nn & valid
     ucols = jnp.minimum(cols, partner[0:6, :])
 
     flags = merge.astype(jnp.int32) + 2 * dropped.astype(jnp.int32)
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
-    out_ref[0:6, :] = ucols
-    out_ref[6:7, :] = partner[6:7, :]
-    out_ref[7:8, :] = as_f(flags)
+    out = jnp.concatenate(
+        [ucols, partner[7:8, :], as_f(flags)], axis=0
+    )  # [8, s]: rows 0..5 union, row 6 partner cnode, row 7 flags
+    out_ref[:] = out[:, H:H + blk]
 
 
 def ploc_nn_round(mat, n_clusters, radius: int, interpret: bool = False):
@@ -111,26 +130,30 @@ def ploc_nn_round(mat, n_clusters, radius: int, interpret: bool = False):
     rnode i32[S])."""
     import functools
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    if radius * 2 > _HALO:
+        raise ValueError(f"radius {radius} needs halo >= {radius * 2}")
     s = mat.shape[1]
-    pad = (-s) % 128
+    blk = min(_BLK, -(-s // 128) * 128)
+    pad = (-s) % blk
     if pad:
         mat = jnp.concatenate([mat, jnp.full((8, pad), _BIG, jnp.float32)], axis=1)
     sp = mat.shape[1]
+    grid = sp // blk
     nc = jnp.asarray(n_clusters, jnp.int32).reshape(1)
+    clamp = lambda j: jnp.clip(j, 0, grid - 1)
     out = pl.pallas_call(
-        functools.partial(_nn_kernel, radius=radius),
-        grid=(1,),
+        functools.partial(_nn_kernel, radius=radius, blk=blk),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
         ],
-        out_specs=pl.BlockSpec((8, sp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, blk), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((8, sp), jnp.float32),
         interpret=interpret,
-    )(nc, mat)
+    )(nc, mat, mat, mat)
     out = out[:, :s]
     as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
     flags = as_i(out[7])

@@ -1,0 +1,122 @@
+"""Fused Pallas kernel for the anchored-refit dense phase.
+
+`refit.refit_anchored` resolves every short-range node (range within
++-radius of its own boundary — the overwhelming majority in Morton order)
+with 2*radius masked shifted-window unions. In XLA that is ~2*radius
+round-trips of the [6, n] packed-leaf matrix through HBM (~0.5 ms at 262K
+on v5e); here it is one blocked stencil pass: each [8, BLK] block plus a
+128-lane halo lives in VMEM, the +-d neighbor views are `pltpu.roll`s, and
+the per-lane range masks are plain compares. The fine level-4 table row
+(T4[i] = min over leaves [i, i+16), consumed by the long-node table path)
+falls out of the same rolls for free as a second output.
+
+This is the refit counterpart of the reference's smem-staged block work
+(`/root/reference/src/TwoPassLbvhKernel.h:217-235` does the equivalent
+propagation with global atomics; the range-min formulation is ours).
+
+Input layout (lane-major f32[8, n]):
+  rows 0..5  packed leaf columns (min3, -max3)
+  row  6     first (i32 bitcast) for boundary i (only cols [0, m) used)
+  row  7     last  (i32 bitcast)
+
+Outputs:
+  acc  f32[8, n]: rows 0..5 short-node union (valid where short),
+                  row 6 short flag (i32 bitcast), row 7 unused
+  t4   f32[6, n]: fine level-4 table row (clamped windows)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+_HALO = 128  # >= radius and >= 16 (T4 window)
+_BLK = 16384
+
+
+def _kernel(left_ref, mid_ref, right_ref, acc_ref, t4_ref, *, radius: int,
+            blk: int, n: int):
+    R = radius
+    H = _HALO
+    mat = jnp.concatenate(
+        [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+    )  # [8, blk + 2H]
+    s = mat.shape[1]
+    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+
+    base = pl.program_id(0) * blk - H
+    lanes = base + lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    cols = mat[0:6, :]
+    first = as_i(mat[6:7, :])
+    last = as_i(mat[7:8, :])
+
+    # leaf data at lane j is valid for j in [0, n); out-of-window garbage
+    # (clamped edge blocks) is masked by the per-lane range checks below,
+    # which never reach past [first, last] subset of [0, n)
+    acc = jnp.full((6, s), _BIG, jnp.float32)
+    t4 = cols
+    for d in range(1, 16):
+        w = pltpu.roll(cols, s - d, axis=1)  # w[:, i] = cols[:, i + d]
+        if d <= R:
+            jok = (lanes + d >= first) & (lanes + d <= last)
+            acc = jnp.where(jok, jnp.minimum(acc, w), acc)
+        # clamped window: stop growing at the last real leaf
+        t4 = jnp.where(lanes + d <= n - 1, jnp.minimum(t4, w), t4)
+    for d in range(16, R + 1):
+        w = pltpu.roll(cols, s - d, axis=1)
+        jok = (lanes + d >= first) & (lanes + d <= last)
+        acc = jnp.where(jok, jnp.minimum(acc, w), acc)
+    for d in range(0, R):
+        w = pltpu.roll(cols, d, axis=1) if d else cols  # cols[:, i - d]
+        jok = (lanes - d >= first) & (lanes - d <= last)
+        acc = jnp.where(jok, jnp.minimum(acc, w), acc)
+
+    short = (lanes - first < R) & (last - lanes <= R)
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    out = jnp.concatenate(
+        [acc, as_f(short.astype(jnp.int32)), jnp.zeros((1, s), jnp.float32)],
+        axis=0,
+    )
+    acc_ref[:] = out[:, H:H + blk]
+    t4_ref[:] = t4[:, H:H + blk]
+
+
+def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
+    """mat: f32[8, n] (layout above). Returns (acc f32[6, n], short b[n],
+    t4 f32[6, n]). Only columns [0, n-1) of acc/short are meaningful."""
+    if radius > _HALO or _HALO < 16:
+        raise ValueError(f"radius {radius} exceeds halo {_HALO}")
+    s = mat.shape[1]
+    blk = min(_BLK, -(-s // 128) * 128)
+    pad = (-s) % blk
+    if pad:
+        mat = jnp.concatenate([mat, jnp.full((8, pad), _BIG, jnp.float32)], axis=1)
+    sp = mat.shape[1]
+    grid = sp // blk
+    clamp = lambda j: jnp.clip(j, 0, grid - 1)
+    acc, t4 = pl.pallas_call(
+        functools.partial(_kernel, radius=radius, blk=blk, n=n),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((6, blk), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, sp), jnp.float32),
+            jax.ShapeDtypeStruct((6, sp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mat, mat, mat)
+    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+    short = as_i(acc[6, :s]) == 1
+    return acc[0:6, :s], short, t4[:, :s]

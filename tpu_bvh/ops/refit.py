@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -81,21 +82,42 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     assert radius >= 15, "two-level table query requires dense radius >= 15"
     i = jnp.arange(m, dtype=I32)
     packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
-
-    short = (i - first < radius) & (last - i <= radius)
     big = jnp.float32(3.0e38)
-    # Dense phase in lane-major [6, *] layout: every shifted window is a
-    # static lane slice of one padded array (an [m, 6]-major loop pays ~8x
-    # lane-padding waste per op on TPU).
-    pad_t = jnp.full((6, radius), big)
-    packed_t = jnp.concatenate([pad_t, packed.T, pad_t], axis=1)  # [6, n+2R]
-    acc_t = jnp.full((6, m), big)
-    for d in range(-radius + 1, radius + 1):
-        # window[:, i] = packed[i + d] (out-of-range lanes hold +big)
-        shifted = lax.dynamic_slice(packed_t, (0, radius + d), (6, m))
-        j = i + d
-        valid = (j >= first) & (j <= last)
-        acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
+    platform = jax.devices()[0].platform
+    use_pallas = platform in ("tpu", "axon")
+
+    if use_pallas:
+        # fused stencil kernel: dense phase + fine level-4 table in one
+        # VMEM-resident pass instead of ~2*radius+8 HBM round-trips
+        from .pallas.refit_dense import refit_dense_pallas
+
+        as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+        onecol = jnp.full((1,), n - 1, I32)
+        mat = jnp.concatenate(
+            [
+                packed.T,
+                as_f(jnp.concatenate([first, onecol]))[None, :],
+                as_f(jnp.concatenate([last, onecol]))[None, :],
+            ],
+            axis=0,
+        )  # [8, n]
+        acc_all, short_all, t4 = refit_dense_pallas(mat, n, radius)
+        acc_t = acc_all[:, :m]
+        short = short_all[:m]
+    else:
+        short = (i - first < radius) & (last - i <= radius)
+        # Dense phase in lane-major [6, *] layout: every shifted window is a
+        # static lane slice of one padded array (an [m, 6]-major loop pays
+        # ~8x lane-padding waste per op on TPU).
+        pad_t = jnp.full((6, radius), big)
+        packed_t = jnp.concatenate([pad_t, packed.T, pad_t], axis=1)  # [6, n+2R]
+        acc_t = jnp.full((6, m), big)
+        for d in range(-radius + 1, radius + 1):
+            # window[:, i] = packed[i + d] (out-of-range lanes hold +big)
+            shifted = lax.dynamic_slice(packed_t, (0, radius + d), (6, m))
+            j = i + d
+            valid = (j >= first) & (j <= last)
+            acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
 
     # Long nodes (range exceeds the dense radius) resolve with a TWO-LEVEL
     # table: a single fine level-4 row (T4[i] = min over [i, i+16)) covers
@@ -108,14 +130,17 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     # into VMEM with ~13 ms of padded dynamic-update-slice copies (measured;
     # see tools/proto_refit3*.py).
     pt = packed.T  # [6, n]
-    cur = pt
-    for k in range(1, 5):
-        s = 1 << (k - 1)
-        if s < n:
-            shifted = jnp.concatenate(
-                [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
-            )
-            cur = jnp.minimum(cur, shifted)
+    if use_pallas:
+        cur = t4  # fine level-4 row came out of the stencil kernel
+    else:
+        cur = pt
+        for k in range(1, 5):
+            s = 1 << (k - 1)
+            if s < n:
+                shifted = jnp.concatenate(
+                    [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
+                )
+                cur = jnp.minimum(cur, shifted)
     nb = (n + 15) // 16
     padn = nb * 16
     ptp = pt if padn == n else jnp.concatenate(
