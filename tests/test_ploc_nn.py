@@ -13,6 +13,9 @@ U32 = jnp.uint32
 
 
 def _mk_state(rng, size, n_clusters, n_segs):
+    """Returns (mat_i32 for the kernel, f32 segmat + cols/seg for the XLA
+    fallback). The kernel's i32 mat carries seg ids in the code row with
+    shift_bits=0 (code >> 0 == seg)."""
     mn = rng.random((6, size), dtype=np.float32)
     # packed (min3, -max3): make -max <= min - extent so extents positive
     cols = np.concatenate([mn[:3], -(mn[:3] + 0.1 + mn[3:])], axis=0)
@@ -20,25 +23,30 @@ def _mk_state(rng, size, n_clusters, n_segs):
     seg.sort()
     cnode = rng.integers(0, 2 * size, size).astype(np.int32)
     as_f = lambda x: lax.bitcast_convert_type(jnp.asarray(x), jnp.float32)
-    mat = jnp.concatenate(
+    as_i = lambda x: lax.bitcast_convert_type(jnp.asarray(x), jnp.int32)
+    mat_i = jnp.concatenate(
+        [as_i(np.asarray(cols)), jnp.asarray(seg)[None, :],
+         jnp.asarray(cnode)[None, :]], axis=0
+    )
+    segmat = jnp.concatenate(
         [jnp.asarray(cols), as_f(seg)[None, :], as_f(cnode)[None, :]], axis=0
     )
-    return mat, jnp.asarray(cols), jnp.asarray(seg).astype(U32), cnode
+    return mat_i, segmat, jnp.asarray(cols), jnp.asarray(seg).astype(U32), cnode
 
 
 @pytest.mark.parametrize("size,nc,nsegs", [(256, 256, 1), (384, 300, 7), (128, 5, 2)])
 @pytest.mark.parametrize("radius", [8, 4])
 def test_nn_kernel_matches_xla(size, nc, nsegs, radius):
     rng = np.random.default_rng(size + radius)
-    mat, cols, seg, cnode = _mk_state(rng, size, nc, nsegs)
+    mat_i, segmat, cols, seg, cnode = _mk_state(rng, size, nc, nsegs)
     idx = jnp.arange(size, dtype=I32)
     valid = idx < nc
 
     m1, d1, u1, r1 = ploc._nn_round_xla(
-        mat, [cols[k] for k in range(6)], seg, valid, idx,
+        segmat, [cols[k] for k in range(6)], seg, valid, idx,
         jnp.asarray(nc, I32), size, radius,
     )
-    m2, d2, u2, r2 = ploc_nn_round(mat, nc, radius, interpret=True)
+    m2, d2, u2, r2 = ploc_nn_round(mat_i, nc, radius, interpret=True, shift_bits=0)
 
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
@@ -54,15 +62,13 @@ def test_nn_kernel_matches_xla(size, nc, nsegs, radius):
 def test_nn_kernel_no_cross_segment_merges():
     rng = np.random.default_rng(0)
     size = 256
-    mat, cols, seg, cnode = _mk_state(rng, size, size, 13)
-    m2, d2, u2, r2 = ploc_nn_round(mat, size, 8, interpret=True)
+    mat_i, segmat, cols, seg, cnode = _mk_state(rng, size, size, 13)
+    m2, d2, u2, r2 = ploc_nn_round(mat_i, size, 8, interpret=True, shift_bits=0)
     m = np.asarray(m2)
-    # a merging cluster's partner offset stays within its segment
-    segs = np.asarray(seg)
     # recompute rel from the xla path for the check
     idx = jnp.arange(size, dtype=I32)
     m1, d1, u1, r1 = ploc._nn_round_xla(
-        mat, [cols[k] for k in range(6)], seg, idx < size, idx,
+        segmat, [cols[k] for k in range(6)], seg, idx < size, idx,
         jnp.asarray(size, I32), size, 8,
     )
     np.testing.assert_array_equal(m, np.asarray(m1))
@@ -74,13 +80,13 @@ def test_nn_kernel_multiblock(monkeypatch, size, nc, nsegs):
     from tpu_bvh.ops.pallas import ploc_nn
     monkeypatch.setattr(ploc_nn, "_BLK", 256)
     rng = np.random.default_rng(99)
-    mat, cols, seg, cnode = _mk_state(rng, size, nc, nsegs)
+    mat_i, segmat, cols, seg, cnode = _mk_state(rng, size, nc, nsegs)
     idx = jnp.arange(size, dtype=I32)
     m1, d1, u1, r1 = ploc._nn_round_xla(
-        mat, [cols[k] for k in range(6)], seg, idx < nc, idx,
+        segmat, [cols[k] for k in range(6)], seg, idx < nc, idx,
         jnp.asarray(nc, I32), size, 8,
     )
-    m2, d2, u2, r2 = ploc_nn.ploc_nn_round(mat, nc, 8, interpret=True)
+    m2, d2, u2, r2 = ploc_nn.ploc_nn_round(mat_i, nc, 8, interpret=True, shift_bits=0)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     merged = np.asarray(m1)

@@ -36,30 +36,35 @@ def main():
     )(tris)
     n = leaf_min.shape[0]
 
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     for size in (262_144, 65_536, 16_384, 4_096):
         sz = min(size, n)
-        cols = [
-            leaf_min[:sz, 0], leaf_min[:sz, 1], leaf_min[:sz, 2],
-            -leaf_max[:sz, 0], -leaf_max[:sz, 1], -leaf_max[:sz, 2],
-        ]
         cnode = jnp.arange(sz, dtype=jnp.int32) + (n - 1)
-        nodes = jnp.zeros((8, 2 * n), jnp.float32)
+        mat = jnp.stack(
+            [
+                leaf_min[:sz, 0], leaf_min[:sz, 1], leaf_min[:sz, 2],
+                -leaf_max[:sz, 0], -leaf_max[:sz, 1], -leaf_max[:sz, 2],
+                as_f(codes[:sz].astype(jnp.int32)), as_f(cnode),
+            ],
+            axis=0,
+        )
+        nodes = jnp.zeros((8, 2 * n + 8704), jnp.float32)
         state0 = (
-            jnp.asarray(sz, jnp.int32), cnode, codes[:sz],
-            jnp.asarray(32, jnp.int32), cols, nodes,
+            jnp.asarray(sz, jnp.int32), jnp.asarray(32, jnp.int32), mat, nodes
         )
 
         def mk(k, state0=state0):
             def run():
                 def body(i, s):
-                    (nc, cn, cc, sb, cl, nd) = s
-                    s2 = ploc._round((nc, cn, cc + i.astype(jnp.uint32), sb, cl, nd), 8)
+                    (nc, sb, m, nd) = s
+                    m = m.at[6].set(m[6] + i.astype(jnp.float32) * 0)
+                    s2 = ploc._round((nc, sb, m, nd), 8)
                     # keep cluster count fixed so every iteration does the
                     # same-size work (ignore the real shrink)
-                    return (nc, s2[1], s2[2], sb, s2[4], s2[5])
+                    return (nc, sb, s2[2], s2[3])
 
                 out = lax.fori_loop(0, k, body, state0)
-                return out[1][0].astype(jnp.float32) + out[5][0, 0]
+                return out[2][0, 0] + out[3][0, 0]
             return run
 
         ms = slope(mk)

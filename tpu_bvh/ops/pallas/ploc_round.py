@@ -1,0 +1,227 @@
+"""Fused PLOC round completion: sort-free emit + survivor compaction.
+
+The XLA `_round` pays two full-width stable sorts per merge round (emit
+slab compaction + survivor compaction, ~0.9 ms at 262K on v5e). This
+kernel replaces both with in-register binary-shift stream compaction:
+
+* Each lane's destination is its rank (exclusive cumsum of its stream
+  flag, log2(blk) roll+add steps). The displacement `lane - rank` is
+  non-decreasing over flagged lanes, so routing its bits LSB-first with
+  one masked roll per bit never collides (high displacement bits are
+  non-decreasing too, so two flagged lanes can never meet mid-flight);
+  unflagged lanes get displacement 0 and are simply overwritten.
+* Cross-block stitching: a sequential-grid carry (SMEM) tracks global
+  stream offsets; each block writes its compacted stream into a dynamic
+  128-aligned HBM window, read-modify-write so the partial head tile
+  (previous block's tail) and everything beyond the stream tail are
+  preserved. No partial-tile scratch: the RMW read recovers the partial
+  from HBM.
+
+Two streams per round:
+  emit     — merged rows [cnode, rnode, union AABB(6)] written straight
+             into the node buffer at their top-down slab ids
+             (`slab_start + global_rank`; reference allocation
+             `/root/reference/src/Ploc++Kernel.h:311`, here deterministic
+             in cluster order). The RMW keeps earlier rounds' nodes (at
+             higher ids) intact.
+  survivor — kept rows (merged -> union AABB + new id; unmerged
+             unchanged) globally front-compacted in cluster order, which
+             is exactly what the stable sort produced.
+
+All carriage is i32 (see ploc_nn's denormal-flush note: integer
+payloads bitcast into f32 rows get flushed to zero by XLA:TPU fusions).
+This kernel does no float arithmetic at all — pure routing.
+
+State layout (lane-major i32[8, S]):
+  rows 0..5  cluster AABB (min3, -max3), f32 bitcast
+  row  6     Morton code
+  row  7     cluster node id
+
+nn layout (i32[8, S], `ploc_nn.ploc_nn_round_raw` output):
+  rows 0..5  union AABB with partner (f32 bitcast), row 6 partner node
+  id, row  7 flags (1 = merge, 2 = dropped)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 8192
+_WPAD = 256  # write-window overhang: one head tile + one tail tile
+
+
+def _cumsum_excl(flags2, blk):
+    """Exclusive cumsum along lanes of i32[2, blk] (both streams at once)."""
+    lanes = lax.broadcasted_iota(jnp.int32, (2, blk), 1)
+    s = flags2
+    k = 1
+    while k < blk:
+        rolled = pltpu.roll(s, k, axis=1)
+        s = jnp.where(lanes >= k, s + rolled, s)
+        k <<= 1
+    return s - flags2
+
+
+def _compact(rows, disp, blk):
+    """Route rows[:, l] to lane l - disp[l] (disp per-lane, monotone over
+    flagged lanes, 0 elsewhere). LSB-first binary shifts; log2(blk) rolls.
+    disp rides as an extra i32 row so it travels with its element."""
+    lanes = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    x = jnp.concatenate([rows, disp], axis=0)  # i32[R+1, blk]
+    b = 0
+    step = 1
+    while step < blk:
+        rolled = pltpu.roll(x, blk - step, axis=1)  # rolled[:, l] = x[:, l+step]
+        rd = rolled[-1:, :]
+        take = (((rd >> b) & 1) == 1) & (lanes < blk - step)
+        x = jnp.where(take, rolled, x)
+        b += 1
+        step <<= 1
+    return x[:-1, :]
+
+
+def _round_kernel2(sc_ref, state_ref, nn_ref, nodes_ref, surv_ref,
+                   nodes_out_ref, surv_out_ref, carry_ref, ewin_ref,
+                   swin_ref, esem, ssem, *, blk: int):
+    i = pl.program_id(0)
+    nc = sc_ref[0]
+    n_merged = sc_ref[1]
+    slab_start = nc - 1 - n_merged
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0] = 0  # merged so far
+        carry_ref[1] = 0  # kept so far
+
+    state = state_ref[:]  # i32[8, blk]
+    nn = nn_ref[:]
+    lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    lanes_l = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    valid = lanes_g < nc
+    flags = nn[7:8, :]
+    merge = valid & (flags == 1)
+    dropped = valid & (flags == 2)
+    keep = valid & ~dropped
+
+    carry_m = carry_ref[0]
+    carry_k = carry_ref[1]
+
+    f2 = jnp.concatenate(
+        [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
+    )  # [2, blk]
+    excl = _cumsum_excl(f2, blk)
+    rank_m = excl[0:1, :]
+    rank_k = excl[1:2, :]
+    cnt_m = jnp.sum(f2[0, :])
+    cnt_k = jnp.sum(f2[1, :])
+
+    new_id = slab_start + carry_m + rank_m  # this lane's merged-node id
+
+    # ---- emit stream: [cnode, rnode, ucols x6] for merged lanes
+    emit_rows = jnp.concatenate(
+        [state[7:8, :], nn[6:7, :], nn[0:6, :]], axis=0
+    )  # i32[8, blk]
+    disp_m = jnp.where(merge, lanes_l - rank_m, 0)
+    emit_c = _compact(emit_rows, disp_m, blk)
+
+    # ---- survivor stream: merged lanes take union AABB + new id
+    surv_cols = jnp.where(merge, nn[0:6, :], state[0:6, :])
+    surv_id = jnp.where(merge, new_id, state[7:8, :])
+    surv_rows = jnp.concatenate(
+        [surv_cols, state[6:7, :], surv_id], axis=0
+    )  # i32[8, blk]
+    disp_k = jnp.where(keep, lanes_l - rank_k, 0)
+    surv_c = _compact(surv_rows, disp_k, blk)
+
+    # ---- stitched RMW writes
+    def stitch(stream_c, cnt, base, hbm_ref, win_ref, dma_sem):
+        p = lax.rem(base, 128)
+        w0 = pl.multiple_of(base - p, 128)
+        ld = pltpu.make_async_copy(
+            hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], win_ref, dma_sem
+        )
+        ld.start()
+        ext = jnp.concatenate(
+            [stream_c, jnp.zeros((8, _WPAD), jnp.int32)], axis=1
+        )
+        ext = pltpu.roll(ext, p, axis=1)  # stream starts at lane p
+        wl = lax.broadcasted_iota(jnp.int32, (1, blk + _WPAD), 1)
+        ld.wait()
+        # lanes < p hold the stream head already persisted by earlier
+        # blocks (or pre-round content before the stream base) — keep them
+        merged_win = jnp.where((wl >= p) & (wl < p + cnt), ext, win_ref[:])
+        win_ref[:] = merged_win
+        st = pltpu.make_async_copy(
+            win_ref, hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], dma_sem
+        )
+        st.start()
+        st.wait()
+
+    stitch(emit_c, cnt_m, slab_start + carry_m, nodes_out_ref, ewin_ref, esem)
+    stitch(surv_c, cnt_k, carry_k, surv_out_ref, swin_ref, ssem)
+
+    carry_ref[0] = carry_m + cnt_m
+    carry_ref[1] = carry_k + cnt_k
+
+
+def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
+                      interpret: bool = False):
+    """Complete one PLOC round after the NN stage, without sorts.
+
+    mat: i32[8, S] state (layout above); nn: i32[8, S] NN output;
+    nodes: i32[8, W] node buffer with W >= S-1 + blk + 256 columns of
+    headroom past the highest live id. Returns (new_mat i32[8, S],
+    nodes i32[8, W]) — nodes is donated/aliased.
+    """
+    s = mat.shape[1]
+    blk = min(_BLK, -(-s // 128) * 128)
+    pad = (-s) % blk
+    if pad:
+        fill = jnp.zeros((8, pad), jnp.int32)
+        mat = jnp.concatenate([mat, fill], axis=1)
+        nn = jnp.concatenate([nn, fill], axis=1)
+    sp = mat.shape[1]
+    grid = sp // blk
+    assert nodes.shape[1] >= s + blk + _WPAD, (
+        f"nodes buffer needs >= {s + blk + _WPAD} cols, got {nodes.shape[1]}"
+    )
+    sc = jnp.stack(
+        [jnp.asarray(n_clusters, jnp.int32), jnp.asarray(n_merged, jnp.int32),
+         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
+    )
+    # survivor buffer: same padded width plus window overhang
+    surv0 = jnp.zeros((8, sp + blk + _WPAD), jnp.int32)
+    nodes_out, surv = pl.pallas_call(
+        functools.partial(_round_kernel2, blk=blk),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pl.ANY),  # nodes (aliased out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # surv buffer (aliased out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
+            jax.ShapeDtypeStruct(surv0.shape, jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(sc, mat, nn, nodes, surv0)
+    return surv[:, :s], nodes_out

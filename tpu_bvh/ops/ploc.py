@@ -144,41 +144,50 @@ def _nn_round_xla(mat, cols, seg, valid, idx, n_clusters, size, R):
 
 
 def _round(state, radius: int):
-    """One PLOC merge round over column state. All neighbor access is by
-    bounded offset: the six AABB columns (plus seg/cnode/rel rows) are
-    packed once into lane-major padded matrices so every +-d neighbor view
-    is a `dynamic_slice` window — per-column `concatenate` shifts
-    materialized ~100 copies per round (~1 ms at 262K; the window form
-    measures ~free, cf. refit's dense phase)."""
-    (n_clusters, cnode, ccode, shift_bits, cols, nodes) = state
-    size = cnode.shape[0]
-    R = radius
-    idx = jnp.arange(size, dtype=I32)
-    valid = idx < n_clusters
-    seg = jnp.where(
-        shift_bits >= 32, U32(0), ccode >> shift_bits.astype(U32)
-    )
+    """One PLOC merge round over packed state (nc, shift_bits, mat, nodes).
 
-    # lane-major padded views: mat rows 0..5 = AABB cols, 6 = seg bits,
-    # 7 = cnode bits (f32-bitcast payloads so one matrix serves all)
+    mat is lane-major f32[8, S]: rows 0..5 AABB (min3, -max3), row 6 the
+    Morton code (u32 bitcast), row 7 the cluster node id (i32 bitcast).
+
+    On TPU the whole round is two Pallas kernels — the NN/merge stencil
+    (`pallas.ploc_nn`) and the sort-free emit + survivor compaction
+    (`pallas.ploc_round`) — with only the n_merged reduction and scalar
+    updates in XLA. Elsewhere: the bounded-offset XLA NN fallback plus two
+    stable sorts (emit slab + survivor compaction)."""
+    (n_clusters, shift_bits, mat, nodes) = state
+    size = mat.shape[1]
+    R = radius
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     as_i = lambda x: lax.bitcast_convert_type(x, I32)
-    mat = jnp.stack(
-        list(cols) + [as_f(seg.astype(I32)), as_f(cnode)], axis=0
-    )  # [8, size]
 
     platform = jax.devices()[0].platform
     if platform in ("tpu", "axon"):
-        # fused VMEM kernel: one read of mat instead of ~300 HBM-roundtrip
-        # ops (2.1 -> ~0.2 ms per round at 262K)
-        from .pallas.ploc_nn import ploc_nn_round
+        from .pallas.ploc_nn import ploc_nn_round_raw
+        from .pallas.ploc_round import ploc_emit_compact
 
-        merge, dropped, uc, rnode = ploc_nn_round(mat, n_clusters, R)
-        ucols = [uc[k] for k in range(6)]
-    else:
-        merge, dropped, ucols, rnode = _nn_round_xla(
-            mat, cols, seg, valid, idx, n_clusters, size, R
+        nn = ploc_nn_round_raw(mat, n_clusters, shift_bits, R)
+        n_merged = jnp.sum((nn[7] == 1).astype(I32))
+        mat, nodes = ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged)
+        shift_bits = jnp.where(
+            n_merged == 0, jnp.minimum(shift_bits + 3, 32), shift_bits
         )
+        return (n_clusters - n_merged, shift_bits, mat, nodes)
+
+    # ---------------- XLA fallback (CPU) ----------------
+    cols = [as_f(mat[k]) for k in range(6)]
+    ccode = mat[6].astype(U32)
+    cnode = mat[7]
+    idx = jnp.arange(size, dtype=I32)
+    valid = idx < n_clusters
+    seg = jnp.where(
+        shift_bits >= 32, U32(0), ccode >> jnp.minimum(shift_bits, 31).astype(U32)
+    )
+    segmat = jnp.stack(
+        cols + [as_f(seg.astype(I32)), as_f(cnode)], axis=0
+    )
+    merge, dropped, ucols, rnode = _nn_round_xla(
+        segmat, cols, seg, valid, idx, n_clusters, size, R
+    )
 
     rank = jnp.cumsum(merge.astype(I32)) - merge.astype(I32)
     n_merged = jnp.sum(merge.astype(I32))
@@ -193,10 +202,12 @@ def _round(state, radius: int):
     new_id = slab_start + rank
 
     # emit merged nodes: compact rows to the front (stable sort keeps rank
-    # order), then blend the slab into the (over-allocated) nodes buffer
+    # order), then blend the slab into the (over-allocated) i32 nodes
+    # buffer (float payloads ride as i32 bits; never the other way round —
+    # int bits in f32 rows are denormals and XLA:TPU flushes those)
     emit = lax.sort(
         tuple(
-            [(~merge).astype(U32), as_f(cnode), as_f(rnode)] + list(ucols)
+            [(~merge).astype(U32), cnode, rnode] + [as_i(u) for u in ucols]
         ),
         num_keys=1,
         is_stable=True,
@@ -226,10 +237,13 @@ def _round(state, radius: int):
     cnode = sorted_ops[1]
     ccode = sorted_ops[2]
     cols = list(sorted_ops[3:9])
+    mat = jnp.stack(
+        [as_i(c) for c in cols] + [ccode.astype(I32), cnode], axis=0
+    )
 
     shift_bits = jnp.where(n_merged == 0, jnp.minimum(shift_bits + 3, 32), shift_bits)
     n_clusters = n_clusters - n_merged
-    return (n_clusters, cnode, ccode, shift_bits, cols, nodes)
+    return (n_clusters, shift_bits, mat, nodes)
 
 
 def ploc_build_topology(
@@ -246,20 +260,26 @@ def ploc_build_topology(
     n_internal = n - 1
     init_nodes = jnp.arange(n, dtype=I32) + n_internal  # leaf ids
     shift0 = jnp.asarray(3 if hploc else 32, I32)
+    as_i = lambda x: lax.bitcast_convert_type(x, I32)
 
-    cols = [
-        leaf_min[:, 0],
-        leaf_min[:, 1],
-        leaf_min[:, 2],
-        -leaf_max[:, 0],
-        -leaf_max[:, 1],
-        -leaf_max[:, 2],
-    ]
-    # packed emit buffer (lane-major), over-allocated by the largest stage
-    # size so the blended slab write's window never clamps at the top end
-    nodes = jnp.zeros((8, n_internal + n), jnp.float32)
+    mat = jnp.stack(
+        [
+            as_i(leaf_min[:, 0]),
+            as_i(leaf_min[:, 1]),
+            as_i(leaf_min[:, 2]),
+            as_i(-leaf_max[:, 0]),
+            as_i(-leaf_max[:, 1]),
+            as_i(-leaf_max[:, 2]),
+            codes.astype(I32),
+            init_nodes,
+        ],
+        axis=0,
+    )  # i32[8, n]
+    # packed emit buffer (lane-major), over-allocated so both the XLA slab
+    # window and the Pallas stitched RMW window never run past the end
+    nodes = jnp.zeros((8, n_internal + max(n, 8192 + 512)), I32)
 
-    state = (jnp.asarray(n, I32), init_nodes, codes, shift0, cols, nodes)
+    state = (jnp.asarray(n, I32), shift0, mat, nodes)
 
     # staged shrink: clusters stay compacted at the front, so once the live
     # count fits a smaller static size we slice down and keep going
@@ -281,21 +301,14 @@ def ploc_build_topology(
 
         state = lax.while_loop(cond, body, state)
         if target > 1:
-            (nc, cnode, ccode, sb, cols, nodes) = state
-            state = (
-                nc,
-                cnode[:target],
-                ccode[:target],
-                sb,
-                [c[:target] for c in cols],
-                nodes,
-            )
+            (nc, sb, mat, nodes) = state
+            state = (nc, sb, mat[:, :target], nodes)
 
-    (_, _, _, _, _, nodes) = state
+    (_, _, _, nodes) = state
     nodes = nodes[:, :n_internal]
-    as_i = lambda x: lax.bitcast_convert_type(x, I32)
-    left = as_i(nodes[0])
-    right = as_i(nodes[1])
-    imin = nodes[2:5].T
-    imax = -nodes[5:8].T
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    left = nodes[0]
+    right = nodes[1]
+    imin = as_f(nodes[2:5]).T
+    imax = -as_f(nodes[5:8]).T
     return left, right, imin, imax
