@@ -104,3 +104,33 @@ def test_round_no_merges(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(mat2)[:, :nc], np.asarray(mat)[:, :nc])
     np.testing.assert_array_equal(np.asarray(nodes2), pattern)
+
+
+@pytest.mark.parametrize("size,nc,shift", [(512, 500, 32), (512, 512, 12), (300, 300, 32)])
+def test_finisher_matches_iterated_rounds(monkeypatch, size, nc, shift):
+    """`ploc_finish` (all remaining rounds in one kernel) == iterating the
+    XLA `_round` until one cluster remains."""
+    from tpu_bvh.ops.pallas import ploc_round as pr
+    monkeypatch.setattr(pr, "_FIN_WIDTH", 1024)
+    rng = np.random.default_rng(size + nc + shift)
+    mat = _mk_state(rng, size, nc)
+    w = 2 * size + 512
+    pattern = rng.integers(-2**30, 2**30, (8, w)).astype(np.int32)
+    # XLA reference: iterate rounds to completion
+    state = (jnp.asarray(nc, I32), jnp.asarray(shift, I32), mat,
+             jnp.asarray(pattern))
+    guard = 0
+    while int(state[0]) > 1:
+        state = ploc._round(state, 8)
+        guard += 1
+        assert guard < 200
+    nodes_ref = np.asarray(state[3])
+
+    nodes2 = pr.ploc_finish(
+        mat, jnp.asarray(pattern), jnp.asarray(nc, I32),
+        jnp.asarray(shift, I32), 8, interpret=True,
+    )
+    n2 = np.asarray(nodes2)
+    # every id in [0, nc-1) written identically; everything else preserved
+    np.testing.assert_array_equal(n2[:, :nc - 1], nodes_ref[:, :nc - 1])
+    np.testing.assert_array_equal(n2[:, nc - 1:], pattern[:, nc - 1:])

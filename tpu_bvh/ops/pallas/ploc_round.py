@@ -225,3 +225,142 @@ def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
         interpret=interpret,
     )(sc, mat, nn, nodes, surv0)
     return surv[:, :s], nodes_out
+
+
+# ---------------------------------------------------------------------------
+# Single-invocation finisher: once the live cluster count fits one VMEM
+# block, every remaining merge round runs inside ONE kernel — the TPU
+# analog of the reference's single-block `SinglePassPloc`
+# (`/root/reference/src/Ploc++Kernel.h:98-209`). Eliminates ~30 dispatch +
+# XLA-glue round trips for the tail of the agglomeration.
+# ---------------------------------------------------------------------------
+
+_FIN_WIDTH = 8192
+
+
+def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
+                   radius: int, width: int):
+    W = width
+    R = radius
+    lanes = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    BIGF = 3.0e38
+
+    def one_round(carry):
+        nc, shift, mat, local = carry
+        valid = lanes < nc
+        cols = as_f(mat[0:6, :])
+        whole = shift >= 32
+        seg = jnp.where(
+            whole, 0, lax.shift_right_logical(mat[6:7, :], jnp.minimum(shift, 31))
+        )
+        segmat = jnp.concatenate([mat[0:6, :], seg, mat[7:8, :]], axis=0)
+
+        best_area = jnp.full((1, W), BIGF, jnp.float32)
+        best_rel = jnp.zeros((1, W), jnp.int32)
+        partner = jnp.zeros((8, W), jnp.int32)
+        areas = []
+        for d in range(1, R + 1):
+            w = pltpu.roll(segmat, W - d, axis=1)
+            u = jnp.minimum(cols, as_f(w[0:6, :]))
+            ex = -u[3:4, :] - u[0:1, :]
+            ey = -u[4:5, :] - u[1:2, :]
+            ez = -u[5:6, :] - u[2:3, :]
+            area = 2.0 * (ex * ey + ex * ez + ey * ez)
+            ok = valid & (lanes + d < nc) & (seg == w[6:7, :])
+            area = jnp.where(ok, area, BIGF)
+            areas.append(area)
+            better = area < best_area
+            best_area = jnp.where(better, area, best_area)
+            best_rel = jnp.where(better, d, best_rel)
+            partner = jnp.where(better, w, partner)
+        for d in range(1, R + 1):
+            area_b = jnp.where(
+                lanes >= d, pltpu.roll(areas[d - 1], d, axis=1), BIGF
+            )
+            better_b = (area_b < best_area) | (
+                (area_b == best_area) & (-d < best_rel)
+            )
+            best_area = jnp.where(better_b, area_b, best_area)
+            best_rel = jnp.where(better_b, -d, best_rel)
+
+        has_nn = best_area < BIGF
+        merge = jnp.zeros((1, W), jnp.bool_)
+        dropped = jnp.zeros((1, W), jnp.bool_)
+        for d in range(1, R + 1):
+            br_fwd = pltpu.roll(best_rel, W - d, axis=1)
+            br_bwd = pltpu.roll(best_rel, d, axis=1)
+            merge = merge | ((best_rel == d) & (br_fwd == -d))
+            dropped = dropped | ((best_rel == -d) & (br_bwd == d))
+        merge = merge & has_nn & valid
+        dropped = dropped & has_nn & valid
+        keep = valid & ~dropped
+        as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+        ucols = as_i(jnp.minimum(cols, as_f(partner[0:6, :])))
+
+        f2 = jnp.concatenate(
+            [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
+        )
+        excl = _cumsum_excl(f2, W)
+        rank_m = excl[0:1, :]
+        rank_k = excl[1:2, :]
+        nm = jnp.sum(f2[0, :])
+        slab = nc - 1 - nm
+        new_id = slab + rank_m
+
+        emit_rows = jnp.concatenate(
+            [mat[7:8, :], partner[7:8, :], ucols], axis=0
+        )
+        disp_m = jnp.where(merge, lanes - rank_m, 0)
+        emit_c = _compact(emit_rows, disp_m, W)
+        emit_pl = pltpu.roll(emit_c, slab, axis=1)  # merged row r -> lane slab+r
+        sel = (lanes >= slab) & (lanes < slab + nm)
+        local = jnp.where(sel, emit_pl, local)
+
+        surv_cols = jnp.where(merge, ucols, mat[0:6, :])
+        surv_id = jnp.where(merge, new_id, mat[7:8, :])
+        surv_rows = jnp.concatenate(
+            [surv_cols, mat[6:7, :], surv_id], axis=0
+        )
+        disp_k = jnp.where(keep, lanes - rank_k, 0)
+        mat = _compact(surv_rows, disp_k, W)
+
+        shift = jnp.minimum(shift + 3, 32)
+        return (nc - nm, shift, mat, local)
+
+    nc0 = sc_ref[0]
+    shift0 = sc_ref[1]
+    carry = (nc0, shift0, mat_ref[:], nodes_in_ref[:])
+    carry = lax.while_loop(lambda c: c[0] > 1, one_round, carry)
+    nodes_out_ref[:] = carry[3]
+
+
+def ploc_finish(mat, nodes, n_clusters, shift_bits, radius: int,
+                interpret: bool = False):
+    """Run every remaining PLOC round in one kernel. mat: i32[8, S] with
+    S <= _FIN_WIDTH live clusters at the front; nodes: i32[8, W] buffer
+    (W >= _FIN_WIDTH; ids written land in [0, n_clusters-1)). Returns the
+    updated nodes buffer (donated/aliased)."""
+    s = mat.shape[1]
+    W = _FIN_WIDTH
+    assert s <= W, f"finisher width {W} < live state {s}"
+    if s < W:
+        mat = jnp.concatenate([mat, jnp.zeros((8, W - s), jnp.int32)], axis=1)
+    assert nodes.shape[1] >= W
+    sc = jnp.stack(
+        [jnp.asarray(n_clusters, jnp.int32), jnp.asarray(shift_bits, jnp.int32)]
+    )
+    out = pl.pallas_call(
+        functools.partial(_finish_kernel, radius=radius, width=W),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, W), lambda i: (0, 0)),
+            pl.BlockSpec((8, W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, W), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(sc, mat, nodes)
+    return out

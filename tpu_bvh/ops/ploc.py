@@ -31,10 +31,11 @@ Merged nodes are allocated top-down (`nClusters - 2 - prefix`,
 but deterministic (in cluster order) instead of warp-race order.
 
 The HPLOC variant (`hploc=True`) restricts merges to clusters sharing a
-Morton-prefix segment and coarsens the prefix whenever a round stalls —
-merging bottom-up within LBVH subtrees, the role the reference's
-warp-cooperative `plocMerge` plays inside LBVH ranges
-(`HplocKernel.h:257-314`). Same output family (root at 0); the subtree
+Morton-prefix segment, coarsening the prefix by 3 bits every round (a
+level-by-level bottom-up sweep through LBVH subtrees — the role the
+reference's warp-cooperative `plocMerge` plays inside LBVH ranges,
+`HplocKernel.h:257-314`; unconditional coarsening avoids burning
+full-width rounds on stalls). Same output family (root at 0); the subtree
 schedule is prefix-quantized rather than exact-range, which is the honest
 TPU mapping of that warp choreography.
 """
@@ -168,9 +169,7 @@ def _round(state, radius: int):
         nn = ploc_nn_round_raw(mat, n_clusters, shift_bits, R)
         n_merged = jnp.sum((nn[7] == 1).astype(I32))
         mat, nodes = ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged)
-        shift_bits = jnp.where(
-            n_merged == 0, jnp.minimum(shift_bits + 3, 32), shift_bits
-        )
+        shift_bits = jnp.minimum(shift_bits + 3, 32)
         return (n_clusters - n_merged, shift_bits, mat, nodes)
 
     # ---------------- XLA fallback (CPU) ----------------
@@ -241,7 +240,7 @@ def _round(state, radius: int):
         [as_i(c) for c in cols] + [ccode.astype(I32), cnode], axis=0
     )
 
-    shift_bits = jnp.where(n_merged == 0, jnp.minimum(shift_bits + 3, 32), shift_bits)
+    shift_bits = jnp.minimum(shift_bits + 3, 32)
     n_clusters = n_clusters - n_merged
     return (n_clusters, shift_bits, mat, nodes)
 
@@ -281,17 +280,33 @@ def ploc_build_topology(
 
     state = (jnp.asarray(n, I32), shift0, mat, nodes)
 
+    platform = jax.devices()[0].platform
+    use_finisher = platform in ("tpu", "axon")
+    if use_finisher:
+        from .pallas.ploc_round import _FIN_WIDTH, ploc_finish
+
+        floor = _FIN_WIDTH
+    else:
+        floor = _MIN_STAGE
+
     # staged shrink: clusters stay compacted at the front, so once the live
     # count fits a smaller static size we slice down and keep going
     size = n
     sizes = []
-    while size > _MIN_STAGE:
+    while size > floor:
         sizes.append(size)
-        size = max(_MIN_STAGE, size // _STAGE_RATIO)
+        size = max(floor, size // _STAGE_RATIO)
     sizes.append(size)
 
     for si, size in enumerate(sizes):
         target = sizes[si + 1] if si + 1 < len(sizes) else 1
+        if use_finisher and target == 1:
+            # tail rounds run inside ONE kernel (SinglePassPloc analog) —
+            # ~30 dispatch/glue round-trips collapse into a single call
+            (nc, sb, mat, nodes) = state
+            nodes = ploc_finish(mat, nodes, nc, sb, radius)
+            state = (jnp.asarray(1, I32), sb, mat, nodes)
+            break
 
         def cond(s, target=target):
             return s[0] > target
