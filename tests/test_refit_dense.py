@@ -63,13 +63,13 @@ def test_dense_kernel_matches_xla(n, radius, monkeypatch):
     )
 
     packed = jnp.concatenate([jnp.asarray(leaf_min), -jnp.asarray(leaf_max)], axis=1)
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    as_i = lambda x: lax.bitcast_convert_type(x, I32)
     onecol = jnp.full((1,), n - 1, I32)
     mat = jnp.concatenate(
         [
-            packed.T,
-            as_f(jnp.concatenate([jnp.asarray(first), onecol]))[None, :],
-            as_f(jnp.concatenate([jnp.asarray(last), onecol]))[None, :],
+            as_i(packed.T),
+            jnp.concatenate([jnp.asarray(first), onecol])[None, :],
+            jnp.concatenate([jnp.asarray(last), onecol])[None, :],
         ],
         axis=0,
     )

@@ -10,18 +10,24 @@ the per-lane range masks are plain compares. The fine level-4 table row
 (T4[i] = min over leaves [i, i+16), consumed by the long-node table path)
 falls out of the same rolls for free as a second output.
 
+Carriage is i32 (the `first`/`last` index rows bitcast into f32 are
+denormals and XLA:TPU fusions flush those to zero — measured: it silently
+flipped every node to the long path, 1.3 -> 5.5 ms with correct output);
+the AABB rows are f32 bits viewed as i32 for transport and bitcast back
+for the min math. Outputs are f32 with the short flag as exact 0.0/1.0.
+
 This is the refit counterpart of the reference's smem-staged block work
 (`/root/reference/src/TwoPassLbvhKernel.h:217-235` does the equivalent
 propagation with global atomics; the range-min formulation is ours).
 
-Input layout (lane-major f32[8, n]):
-  rows 0..5  packed leaf columns (min3, -max3)
-  row  6     first (i32 bitcast) for boundary i (only cols [0, m) used)
-  row  7     last  (i32 bitcast)
+Input layout (lane-major i32[8, n]):
+  rows 0..5  packed leaf columns (min3, -max3), f32 bitcast
+  row  6     first (i32) for boundary i (only cols [0, m) used)
+  row  7     last  (i32)
 
 Outputs:
   acc  f32[8, n]: rows 0..5 short-node union (valid where short),
-                  row 6 short flag (i32 bitcast), row 7 unused
+                  row 6 short flag (0.0 / 1.0), row 7 unused
   t4   f32[6, n]: fine level-4 table row (clamped windows)
 """
 from __future__ import annotations
@@ -35,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38
+_BIGBITS = 2137108966  # np.float32(3.0e38).view(np.int32)
 _HALO = 128  # >= radius and >= 16 (T4 window)
 _BLK = 16384
 
@@ -45,15 +52,15 @@ def _kernel(left_ref, mid_ref, right_ref, acc_ref, t4_ref, *, radius: int,
     H = _HALO
     mat = jnp.concatenate(
         [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
-    )  # [8, blk + 2H]
+    )  # i32[8, blk + 2H]
     s = mat.shape[1]
-    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
+    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
 
     base = pl.program_id(0) * blk - H
     lanes = base + lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    cols = mat[0:6, :]
-    first = as_i(mat[6:7, :])
-    last = as_i(mat[7:8, :])
+    cols = as_f(mat[0:6, :])
+    first = mat[6:7, :]
+    last = mat[7:8, :]
 
     # leaf data at lane j is valid for j in [0, n); out-of-window garbage
     # (clamped edge blocks) is masked by the per-lane range checks below,
@@ -61,25 +68,24 @@ def _kernel(left_ref, mid_ref, right_ref, acc_ref, t4_ref, *, radius: int,
     acc = jnp.full((6, s), _BIG, jnp.float32)
     t4 = cols
     for d in range(1, 16):
-        w = pltpu.roll(cols, s - d, axis=1)  # w[:, i] = cols[:, i + d]
+        w = as_f(pltpu.roll(mat[0:6, :], s - d, axis=1))  # cols[:, i + d]
         if d <= R:
             jok = (lanes + d >= first) & (lanes + d <= last)
             acc = jnp.where(jok, jnp.minimum(acc, w), acc)
         # clamped window: stop growing at the last real leaf
         t4 = jnp.where(lanes + d <= n - 1, jnp.minimum(t4, w), t4)
     for d in range(16, R + 1):
-        w = pltpu.roll(cols, s - d, axis=1)
+        w = as_f(pltpu.roll(mat[0:6, :], s - d, axis=1))
         jok = (lanes + d >= first) & (lanes + d <= last)
         acc = jnp.where(jok, jnp.minimum(acc, w), acc)
     for d in range(0, R):
-        w = pltpu.roll(cols, d, axis=1) if d else cols  # cols[:, i - d]
+        w = as_f(pltpu.roll(mat[0:6, :], d, axis=1)) if d else cols  # i - d
         jok = (lanes - d >= first) & (lanes - d <= last)
         acc = jnp.where(jok, jnp.minimum(acc, w), acc)
 
     short = (lanes - first < R) & (last - lanes <= R)
-    as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     out = jnp.concatenate(
-        [acc, as_f(short.astype(jnp.int32)), jnp.zeros((1, s), jnp.float32)],
+        [acc, short.astype(jnp.float32), jnp.zeros((1, s), jnp.float32)],
         axis=0,
     )
     acc_ref[:] = out[:, H:H + blk]
@@ -87,7 +93,7 @@ def _kernel(left_ref, mid_ref, right_ref, acc_ref, t4_ref, *, radius: int,
 
 
 def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
-    """mat: f32[8, n] (layout above). Returns (acc f32[6, n], short b[n],
+    """mat: i32[8, n] (layout above). Returns (acc f32[6, n], short b[n],
     t4 f32[6, n]). Only columns [0, n-1) of acc/short are meaningful."""
     if radius > _HALO or _HALO < 16:
         raise ValueError(f"radius {radius} exceeds halo {_HALO}")
@@ -95,7 +101,9 @@ def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
     blk = min(_BLK, -(-s // 128) * 128)
     pad = (-s) % blk
     if pad:
-        mat = jnp.concatenate([mat, jnp.full((8, pad), _BIG, jnp.float32)], axis=1)
+        mat = jnp.concatenate(
+            [mat, jnp.full((8, pad), _BIGBITS, jnp.int32)], axis=1
+        )
     sp = mat.shape[1]
     grid = sp // blk
     clamp = lambda j: jnp.clip(j, 0, grid - 1)
@@ -117,6 +125,5 @@ def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(mat, mat, mat)
-    as_i = lambda x: lax.bitcast_convert_type(x, jnp.int32)
-    short = as_i(acc[6, :s]) == 1
+    short = acc[6, :s] == 1.0
     return acc[0:6, :s], short, t4[:, :s]

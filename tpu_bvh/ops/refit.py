@@ -84,23 +84,30 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
     big = jnp.float32(3.0e38)
     platform = jax.devices()[0].platform
-    use_pallas = platform in ("tpu", "axon")
+    import os
+
+    use_pallas = platform in ("tpu", "axon") and not os.environ.get(
+        "TBVH_NO_PALLAS_REFIT"
+    )
 
     if use_pallas:
         # fused stencil kernel: dense phase + fine level-4 table in one
-        # VMEM-resident pass instead of ~2*radius+8 HBM round-trips
+        # VMEM-resident pass instead of ~2*radius+8 HBM round-trips.
+        # i32 carriage: first/last bitcast into f32 rows are denormals and
+        # XLA:TPU flushes those (measured — it pushed every node onto the
+        # slow long path)
         from .pallas.refit_dense import refit_dense_pallas
 
-        as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+        as_ib = lambda x: lax.bitcast_convert_type(x, I32)
         onecol = jnp.full((1,), n - 1, I32)
         mat = jnp.concatenate(
             [
-                packed.T,
-                as_f(jnp.concatenate([first, onecol]))[None, :],
-                as_f(jnp.concatenate([last, onecol]))[None, :],
+                as_ib(packed.T),
+                jnp.concatenate([first, onecol])[None, :],
+                jnp.concatenate([last, onecol])[None, :],
             ],
             axis=0,
-        )  # [8, n]
+        )  # i32[8, n]
         acc_all, short_all, t4 = refit_dense_pallas(mat, n, radius)
         acc_t = acc_all[:, :m]
         short = short_all[:m]
