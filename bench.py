@@ -207,7 +207,7 @@ def main() -> None:
         tr, cam = sc.preset("sponza")
         w = h = 512
         rays = camera.generate_rays(cam, w, h)
-        rpack = raster.pack_raster(bvh, tris, leaf_size=128)
+        rpack = raster.pack_raster(bvh, tris, leaf_size=64)
 
         def make_loop(k):
             def run():
@@ -218,7 +218,7 @@ def main() -> None:
                     )
                     hit, _ = raster_tpu._render_tpu_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                        w, h, 1024, 4096, 8, 128, False,
+                        w, h, 1024, 4096, 32, 64, False,
                     )
                     return acc + hit.t[0] + hit.u[1]
 

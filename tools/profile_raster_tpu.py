@@ -20,7 +20,7 @@ def _t(f):
     return time.perf_counter() - t0
 
 
-def slope(make_loop, k_lo=2, k_hi=12, reps=3):
+def slope(make_loop, k_lo=4, k_hi=44, reps=4):
     f_lo = jax.jit(make_loop(k_lo))
     f_hi = jax.jit(make_loop(k_hi))
     np.asarray(f_lo())
@@ -102,7 +102,7 @@ def main():
                 dirs_ct = RT._to_coarse_layout(r2.reshape(W, H, 3), W, H)
                 dirs_ct = dirs_ct.transpose(0, 2, 1)
                 n_ct = (W * H) // RT.RPC
-                p_tid, g_ct, g_first, ovf = RT._prepare_pairs(
+                p_tid, p_tlb, g_ct, g_first, ovf = RT._prepare_pairs(
                     eye, dirs_ct, bmin, bmax, n_ct, 1024, 8192, G
                 )
                 slabs = RT._build_slabs(wt, packed.prim_ids, eye, L)

@@ -15,11 +15,13 @@ sweeps with fixed-origin Möller coefficients), restructured for the chip:
   why): a sweep is ONE `dot_general([4, 6L], [d; 1] [4, 256])` — the ones
   row realizes the affine t and prim-id rows — then sign tests, exactly
   the reference's `u>0 & v>0 & w>0 & t>0` (`TraversalKernel.h:86-91`).
-* **In-kernel fine culling**: per group of G pairs, a vectorized [G, 16]
-  direction-interval cone test against the 16 subtiles' direction bounds
-  (computed once per coarse tile into scratch), AND'ed with an occlusion
-  test against each subtile's running max hit-t; the per-(pair, subtile)
-  sweep only runs for set bits — skipped work is skipped, unlike XLA.
+* **Fine culling as prefetch scalars**: the per-(pair, subtile) cone test
+  runs densely in XLA during prep and arrives as one bitmask scalar per
+  pair (`p_bits`); in-kernel the only fine test left is occlusion against
+  each subtile's running max hit-t. The per-(pair, subtile) sweep only
+  runs for set, unoccluded bits — skipped work is skipped, unlike XLA.
+  (The previous in-kernel [G, 16] cone matrix cost ~1.5 us/step of tiny
+  minor-dim vector ops, half the kernel's runtime.)
 * **No permutation gathers**: ray layout changes are reshape/transposes.
 
 Outputs match `traverse.traverse_bvh2` closest hits (t, original prim id,
@@ -97,8 +99,8 @@ def _build_slabs(wt, prim_ids, eye, leaf_size: int):
     return jnp.concatenate([slab, jnp.zeros((1, 4, 6 * L), F32)], axis=0)
 
 
-def _kernel(g_ct, g_first, p_tlb, dirs, slab, aabb,
-            out_t, out_p, out_u, out_v, dm, tmax_s, debug: int = 0):
+def _kernel(g_ct, g_first, p_tlb, p_bits, dirs, slab,
+            out_t, out_p, out_u, out_v, tmax_s, debug: int = 0):
     # debug (static): 0 = full sweep; 1 = skip sweeps entirely (binning,
     # loops, DMA only); 2 = dot + t-plane + min-reduce + t store only
     from jax.experimental import pallas as pl
@@ -114,36 +116,12 @@ def _kernel(g_ct, g_first, p_tlb, dirs, slab, aabb,
         out_u[:] = jnp.zeros_like(out_u)
         out_v[:] = jnp.zeros_like(out_v)
         for s in range(NSUB):
-            seg = dirs[0, :, s * RPT : (s + 1) * RPT]  # [3, 256]
-            dm[0:3, s : s + 1] = jnp.min(seg, axis=1, keepdims=True)
-            dm[3:6, s : s + 1] = jnp.max(seg, axis=1, keepdims=True)
             tmax_s[s] = BIGF
 
-    # ---- vectorized cone + occlusion test: [G, NSUB] live matrix.
-    # aabb cols are (bmin - eye, bmax - eye): per axis the reachable
-    # interval at t>=0 is t*[dmin, dmax]; see raster._cone_vs_aabb.
-    lo = jnp.zeros((G, NSUB), F32)
-    hi = jnp.full((G, NSUB), BIGF, F32)
-    empty = jnp.zeros((G, NSUB), bool)
-    for k in range(3):
-        dmin = dm[k : k + 1, :NSUB]  # [1, NSUB]
-        dmax = dm[3 + k : 4 + k, :NSUB]
-        a = aabb[:, k : k + 1]  # [G, 1] bmin - eye
-        b = aabb[:, 3 + k : 4 + k]  # [G, 1] bmax - eye
-        lo1 = jnp.where((dmax > 0) & (a > 0), a / jnp.where(dmax > 0, dmax, 1.0), 0.0)
-        hi1 = jnp.where((dmax < 0) & (a <= 0), a / jnp.where(dmax < 0, dmax, 1.0), BIGF)
-        e1 = (dmax <= 0) & (a > 0)
-        hi2 = jnp.where(dmin > 0, b / jnp.where(dmin > 0, dmin, 1.0), BIGF)
-        lo2 = jnp.where((dmin < 0) & (b < 0), b / jnp.where(dmin < 0, dmin, 1.0), 0.0)
-        e2 = (dmin >= 0) & (b < 0)
-        lo = jnp.maximum(lo, jnp.maximum(lo1, lo2))
-        hi = jnp.minimum(hi, jnp.minimum(hi1, hi2))
-        empty = empty | e1 | e2
-    live = (~empty) & (lo <= hi)
-    weights = jnp.left_shift(
-        jnp.ones((1, NSUB), I32), lax.broadcasted_iota(I32, (1, NSUB), 1)
-    )
-    bits_col = jnp.sum(jnp.where(live, weights, 0), axis=1)  # [G]
+    # per-(pair, subtile) cone liveness is a host-side (XLA) product now —
+    # `p_bits` prefetch scalars — so the kernel does no vector work per
+    # group beyond the sweeps themselves (the [G, NSUB] in-kernel cone
+    # matrix cost ~1.5 us/step in tiny minor-dim ops)
 
     iota_l = lax.broadcasted_iota(I32, (L, RPT), 0)
 
@@ -205,7 +183,7 @@ def _kernel(g_ct, g_first, p_tlb, dirs, slab, aabb,
         tmax_s[s] = jnp.max(new_t)
 
     for j in range(G):
-        bits_j = bits_col[j]
+        bits_j = p_bits[g * G + j]
 
         @pl.when(bits_j != 0)
         def _pair(j=j, bits_j=bits_j):
@@ -311,7 +289,7 @@ def render_raster_tpu(
     height: int,
     cand_cap: int = 1024,
     pair_cap: int = 8192,
-    group: int = 8,
+    group: int = 32,
     interpret: bool = False,
 ):
     """Raster render via the Pallas kernel. Same results as
@@ -383,8 +361,29 @@ def _render_tpu_impl(
     empty = jnp.concatenate([jnp.full((1, 3), BIG), jnp.full((1, 3), -BIG)], 1)
     ab = jnp.concatenate([bmin - eye, bmax - eye], axis=1)  # [T, 6]
     ab = jnp.concatenate([ab, empty - jnp.concatenate([eye, eye])[None]], 0)
-    ab = jnp.concatenate([ab, jnp.zeros((nt + 1, 2), F32)], axis=1)  # [T+1, 8]
-    pair_aabb = ab[safe_tid]
+    pair_aabb = ab[safe_tid]  # [P, 6] (bmin - eye, bmax - eye)
+
+    # per-(pair, subtile) cone test in XLA -> one bitmask scalar per pair
+    # (moving this out of the kernel removed ~1.5 us of tiny-minor-dim
+    # vector ops per group step)
+    dsub = dirs_ct.reshape(n_ct, 3, NSUB, RPT)
+    dmin_s = jnp.min(dsub, axis=3).transpose(0, 2, 1)  # [CT, NSUB, 3]
+    dmax_s = jnp.max(dsub, axis=3).transpose(0, 2, 1)
+    pc = jnp.clip(jnp.repeat(g_ct, G)[: p_tid.shape[0]], 0, n_ct - 1)
+    pdmin = dmin_s[pc]  # [P, NSUB, 3]
+    pdmax = dmax_s[pc]
+    live_s, _ = R._cone_vs_aabb(
+        jnp.zeros((3,), F32),
+        pdmin,
+        pdmax,
+        pair_aabb[:, None, 0:3],
+        pair_aabb[:, None, 3:6],
+    )  # [P, NSUB]
+    weights = jnp.left_shift(
+        jnp.ones((NSUB,), I32), jnp.arange(NSUB, dtype=I32)
+    )
+    p_bits = jnp.sum(jnp.where(live_s, weights[None, :], 0), axis=1)
+    p_bits = jnp.where(p_tid >= 0, p_bits, 0)
 
     # outputs as [CT, 8, 512] (Mosaic wants the last two block dims
     # (8, 128)-aligned; (1, 4096) is not)
@@ -395,30 +394,26 @@ def _render_tpu_impl(
         jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, RPC), lambda g, gc, gf, tl: (gc[g], 0, 0),
+                (1, 3, RPC), lambda g, gc, gf, tl, pb: (gc[g], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, 4, 6 * L), lambda g, gc, gf, tl: (g, 0, 0),
+                (G, 4, 6 * L), lambda g, gc, gf, tl, pb: (g, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (G, 8), lambda g, gc, gf, tl: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 8, RPC // 8), lambda g, gc, gf, tl: (gc[g], 0, 0),
+                (1, 8, RPC // 8), lambda g, gc, gf, tl, pb: (gc[g], 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
         * 4,
         scratch_shapes=[
-            pltpu.VMEM((8, max(NSUB, 128)), F32),
             pltpu.SMEM((NSUB,), F32),
         ],
     )
@@ -429,7 +424,7 @@ def _render_tpu_impl(
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(g_ct, g_first, p_tlb, dirs_ct, pair_slab, pair_aabb)
+    )(g_ct, g_first, p_tlb, p_bits, dirs_ct, pair_slab)
 
     flat = lambda x: _from_coarse_layout(
         x.reshape(n_ct, RPC)[:, :, None], width, height

@@ -86,8 +86,12 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     platform = jax.devices()[0].platform
     import os
 
-    use_pallas = platform in ("tpu", "axon") and not os.environ.get(
-        "TBVH_NO_PALLAS_REFIT"
+    # n gate: under vmap (batched tiny builds) or at small scenes the XLA
+    # window loop wins; the stencil kernel pays off on big flat builds
+    use_pallas = (
+        platform in ("tpu", "axon")
+        and n >= 16384
+        and not os.environ.get("TBVH_NO_PALLAS_REFIT")
     )
 
     if use_pallas:
