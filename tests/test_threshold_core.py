@@ -56,3 +56,43 @@ def test_payload_scan_matches_oracle():
     np.testing.assert_array_equal(np.asarray(nsv_k), np.asarray(nsv_o))
     np.testing.assert_array_equal(np.asarray(pp_k), np.asarray(pp_o))
     np.testing.assert_array_equal(np.asarray(np_k), np.asarray(np_o))
+
+
+def test_child_positions_reference_matches_topology():
+    """Child scans reproduce the sort-based child links exactly."""
+    import numpy as np
+    from tpu_bvh.ops import radix_tree
+    from tpu_bvh.ops.pallas.threshold_core import child_positions_reference
+
+    rng = np.random.default_rng(0)
+    for n in (17, 250, 1777):
+        codes = jnp.asarray(
+            np.sort(rng.integers(0, 2**30, n).astype(np.uint32))
+        )
+        left, right, _p, _f, _l, _r = radix_tree.apetrei_topology_fast(codes)
+        m = n - 1
+        dlt_raw = radix_tree.adjacent_deltas(codes)
+        dlt = jnp.where(dlt_raw <= 31, dlt_raw - 2, dlt_raw - 11)
+        lc, rc = child_positions_reference(dlt)
+        idx = np.arange(m)
+        got_l = np.where(np.asarray(lc) >= 0, np.asarray(lc), m + idx)
+        got_r = np.where(np.asarray(rc) >= 0, np.asarray(rc), m + idx + 1)
+        np.testing.assert_array_equal(got_l, np.asarray(left[:m]))
+        np.testing.assert_array_equal(got_r, np.asarray(right[:m]))
+
+
+def test_child_kernels_match_reference():
+    import numpy as np
+    from tpu_bvh.ops.pallas import threshold_core as tc
+
+    rng = np.random.default_rng(7)
+    for m in (700, 2048, 3333):
+        dlt = jnp.asarray(rng.integers(0, 53, m).astype(np.int32))
+        l_ref, r_ref = tc.child_positions_reference(dlt)
+        lpk = tc._run_child(tc._child_kernel_lanes_fwd, dlt, False, True, 512)
+        rpk = tc._run_child(tc._child_kernel_lanes_rev, dlt, True, True, 512)
+        mask = (1 << tc._POSB) - 1
+        l2 = jnp.where(lpk == tc._BIG, -1, lpk & mask)
+        r2 = jnp.where(rpk == tc._BIG, -1, rpk & mask)
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r2))

@@ -489,3 +489,194 @@ def psv_nsv_payload_auto(dlt, pay):
         )
         return psv, psv_pay, nsv, nsv_pay
     return psv_nsv_payload_reference(dlt, pay)
+
+
+# ---------------------------------------------------------------------------
+# Child-position scans: the radix tree's child links WITHOUT the (side,
+# parent) inversion sort. For the split-position (Apetrei) layout, node k
+# covers [psv(k)+1, nsv(k)] and splits at its own boundary k, so
+#
+#   left_child(k)  = argmin of dlt over (psv(k), k)      (leaf k if empty)
+#   right_child(k) = argmin of dlt over (k, nsv(k))      (leaf k+1 if empty)
+#
+# (children are the shallowest boundaries of the half-ranges). For sorted
+# keys the LCP array has UNIQUE range minima — two boundaries with equal
+# delta and nothing smaller between them would need the same bit to flip
+# 0->1 twice in an ascending sequence — so the argmin is well-defined with
+# no tie-break. Per threshold lane v this is a *segmented* running min of
+# (dlt << 22 | pos): candidates where dlt > v, segment resets where
+# dlt <= v; selecting lane v = dlt[k] exclusively-before k gives the left
+# child, and the mirrored suffix scan gives the right child. Same [V, c]
+# lane-major roll structure as the PSV/NSV kernels.
+# ---------------------------------------------------------------------------
+
+_POSB = 22  # pos bits in the packed (dlt << 22 | pos) key; needs m < 2^22
+
+
+def child_positions_reference(dlt):
+    """XLA oracle: (left i32[m], right i32[m]) boundary index of each
+    node's internal child, or -1 where the child is a leaf."""
+    m = dlt.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    packed = (dlt << _POSB) | pos
+    vr = jnp.arange(V, dtype=jnp.int32)
+    cand = jnp.where(dlt[:, None] > vr[None, :], packed[:, None], _BIG)
+    reset = dlt[:, None] <= vr[None, :]
+
+    def comb(a, b):
+        mm = jnp.where(b[1], b[0], jnp.minimum(a[0], b[0]))
+        return (mm, a[1] | b[1])
+
+    m_f, _ = lax.associative_scan(comb, (cand, reset), axis=0)
+    m_excl = jnp.concatenate(
+        [jnp.full((1, V), _BIG, jnp.int32), m_f[:-1]], axis=0
+    )
+    onehot = dlt[:, None] == vr[None, :]
+    lpk = jnp.max(jnp.where(onehot, m_excl, 0), axis=1)
+    left = jnp.where(lpk == _BIG, -1, lpk & ((1 << _POSB) - 1))
+
+    # reverse: suffix segmented min, exclusive after k
+    def comb_r(a, b):
+        # scanning reversed array: same combine
+        return comb(a, b)
+
+    m_r, _ = lax.associative_scan(
+        comb, (cand[::-1], reset[::-1]), axis=0
+    )
+    m_r = m_r[::-1]
+    m_excl_r = jnp.concatenate(
+        [m_r[1:], jnp.full((1, V), _BIG, jnp.int32)], axis=0
+    )
+    rpk = jnp.max(jnp.where(onehot, m_excl_r, 0), axis=1)
+    right = jnp.where(rpk == _BIG, -1, rpk & ((1 << _POSB) - 1))
+    return left, right
+
+
+def _child_kernel_lanes_fwd(dlt_ref, out_ref, carry_ref):
+    """Left-child segmented argmin scan (positions on lanes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, _BIG)
+
+    dlt = dlt_ref[0:1, :]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = i * c + lanes
+    packed = (dlt << _POSB) | g  # broadcast [V, c]
+    x = jnp.where(dlt > subl, packed, _BIG)
+    # segment-reset flag as i32: Mosaic can't rotate i1 vectors
+    r = (dlt <= subl).astype(jnp.int32)
+
+    k = 1
+    while k < c:
+        rm = pltpu.roll(x, k, axis=1)  # window ending at i-k
+        rr = pltpu.roll(r, k, axis=1)
+        lm = jnp.where(lanes >= k, rm, _BIG)
+        # combine(L, R): if R's window contains a reset, L is invisible
+        x = jnp.where(r == 1, x, jnp.minimum(lm, x))
+        r = r | jnp.where(lanes >= k, rr, 0)
+        k <<= 1
+    cm = carry_ref[:, 0:1]
+    total = jnp.where(r == 1, x, jnp.minimum(cm, x))
+    ex = jnp.where(lanes >= 1, pltpu.roll(total, 1, axis=1), cm)
+    sel = jnp.where(dlt == subl, ex, 0)
+    out_ref[:] = jnp.max(sel, axis=0, keepdims=True)
+    carry_ref[:] = total[:, c - 1 : c]
+
+
+def _child_kernel_lanes_rev(dlt_ref, out_ref, carry_ref):
+    """Right-child segmented argmin scan (suffix direction)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    c = dlt_ref.shape[1]
+    nchunks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.full_like(carry_ref, _BIG)
+
+    dlt = dlt_ref[0:1, :]
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = (nchunks - 1 - i) * c + lanes
+    packed = (dlt << _POSB) | g
+    x = jnp.where(dlt > subl, packed, _BIG)
+    r = (dlt <= subl).astype(jnp.int32)
+
+    k = 1
+    while k < c:
+        rm = pltpu.roll(x, c - k, axis=1)  # window starting at i+k
+        rr = pltpu.roll(r, c - k, axis=1)
+        lm = jnp.where(lanes < c - k, rm, _BIG)
+        x = jnp.where(r == 1, x, jnp.minimum(lm, x))
+        r = r | jnp.where(lanes < c - k, rr, 0)
+        k <<= 1
+    cm = carry_ref[:, 0:1]
+    total = jnp.where(r == 1, x, jnp.minimum(cm, x))
+    ex = jnp.where(lanes < c - 1, pltpu.roll(total, c - 1, axis=1), cm)
+    sel = jnp.where(dlt == subl, ex, 0)
+    out_ref[:] = jnp.max(sel, axis=0, keepdims=True)
+    carry_ref[:] = total[:, 0:1]
+
+
+def _run_child(kernel, dlt, reverse, interpret, chunk):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = dlt.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        filler = jnp.zeros((pad,), jnp.int32)
+        dlt = (
+            jnp.concatenate([dlt, filler])
+            if not reverse
+            else jnp.concatenate([filler, dlt])
+        )
+    mp = dlt.shape[0]
+    chunks = mp // chunk
+    if reverse:
+        index_map = lambda i: (0, chunks - 1 - i)
+    else:
+        index_map = lambda i: (0, i)
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=[pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, chunk), index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, mp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((V, 1), jnp.int32)],
+        interpret=interpret,
+    )(dlt.reshape(1, mp))
+    out = out.reshape(mp)
+    if pad:
+        if not reverse:
+            out = out[:m]
+        else:
+            out = out[pad:]
+            mask = (1 << _POSB) - 1
+            out = jnp.where(
+                out != _BIG, ((out & mask) - pad) | (out & ~mask), out
+            )
+    return out
+
+
+def child_positions_auto(dlt):
+    """(left i32[m], right i32[m]) internal-child boundary positions, -1
+    where the child is a leaf. Pallas on TPU, XLA reference elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+        lpk = _run_child(_child_kernel_lanes_fwd, dlt, False, False, 2048)
+        rpk = _run_child(_child_kernel_lanes_rev, dlt, True, False, 2048)
+        mask = (1 << _POSB) - 1
+        left = jnp.where(lpk == _BIG, -1, lpk & mask)
+        right = jnp.where(rpk == _BIG, -1, rpk & mask)
+        return left, right
+    return child_positions_reference(dlt)

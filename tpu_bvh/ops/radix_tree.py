@@ -355,9 +355,14 @@ def apetrei_build(codes, leaf_min, leaf_max):
     threshold-core evaluation feeds both the topology emission and the
     boundary-ordered anchored refit (node i's range contains boundary i, so
     most AABBs resolve with dense shifts — see `refit.refit_anchored`).
+    Child links come from segmented child-position scans
+    (`threshold_core.child_positions_auto`) — node k's internal child is
+    the delta argmin of each half-range, so no (side, parent) inversion
+    sort is needed at all.
     Returns (left, right, parent, int_min, int_max, root).
     """
     from . import refit as _refit
+    from .pallas.threshold_core import child_positions_auto
 
     n = codes.shape[0]
     m = n - 1
@@ -376,16 +381,12 @@ def apetrei_build(codes, leaf_min, leaf_max):
     leaf_is_right = ldl > ldr
     parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
 
-    key_internal = jnp.where(
-        is_root, I32(2 * m), internal_is_right.astype(I32) * m + parent_internal
-    )
-    key_leaf = leaf_is_right.astype(I32) * m + parent_leaf
-    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
-    all_vals = jnp.concatenate([idx, m + jdx])
-    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
+    lc, rc = child_positions_auto(dlt)
+    left_internal = jnp.where(lc >= 0, lc, m + idx)
+    right_internal = jnp.where(rc >= 0, rc, m + idx + 1)
 
-    left = jnp.concatenate([sorted_vals[:m], jnp.full((n,), -1, I32)])
-    right = jnp.concatenate([sorted_vals[m : 2 * m], jnp.full((n,), -1, I32)])
+    left = jnp.concatenate([left_internal, jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
     parent = jnp.concatenate([parent_internal, parent_leaf])
     root_idx = jnp.argmax(is_root).astype(I32)
     return left, right, parent, int_min, int_max, root_idx
