@@ -106,6 +106,75 @@ def test_packed_traversal_matches(setup):
     assert np.array_equal(np.asarray(counts_p), np.asarray(counts))
 
 
+def _caterpillar_bvh(n_leaves=64, hot_prim=60):
+    """Hand-built degenerate chain BVH deeper than STACK_DEPTH: internal i
+    has left = leaf i, right = internal i+1; every node AABB is the same big
+    box so both children always hit and the far (leaf) child must be pushed
+    at every level. Only `hot_prim`'s triangle crosses the probe ray, and
+    its leaf is pushed at depth > STACK_DEPTH — a silent-drop engine returns
+    a miss."""
+    from tpu_bvh.types import Bvh2
+
+    n = n_leaves
+    ni = n - 1
+    m = 2 * n - 1
+    left = np.full(m, -1, np.int32)
+    right = np.full(m, -1, np.int32)
+    for i in range(ni):
+        left[i] = ni + i  # leaf holding prim i
+        right[i] = i + 1 if i < ni - 1 else m - 1  # chain, last -> leaf n-1
+    left[ni:] = np.arange(n, dtype=np.int32)  # leaf slot -> prim idx
+    node_min = np.full((m, 3), -10.0, np.float32)
+    node_max = np.full((m, 3), 10.0, np.float32)
+
+    tris = np.zeros((n, 3, 3), np.float32)
+    for i in range(n):
+        dx = 0.0 if i == hot_prim else 6.0  # off-ray for all but hot_prim
+        tris[i] = [[-1 + dx, -1, 1.0], [2 + dx, -1, 1.0], [dx, 2, 1.0]]
+    bvh = Bvh2(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        root=jnp.int32(0),
+    )
+    return bvh, jnp.asarray(tris)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_deep_tree_no_silent_stack_drop(variant):
+    """Trees deeper than the traversal stack must still return correct
+    closest hits (VERDICT r1 #10; the reference has the same latent bug at
+    `TraversalKernel.h:160,214` — flagged 'do NOT replicate')."""
+    bvh, tris = _caterpillar_bvh()
+    tr = _identity()
+    rays = Rays(
+        origin=jnp.asarray([[0.0, 0.0, -1.0], [50.0, 50.0, -1.0]], jnp.float32),
+        direction=jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32),
+        tmin=jnp.zeros(2),
+        tmax=jnp.full(2, 3.4e38),
+    )
+    hit, _ = traverse.traverse_bvh2(bvh, tris, rays, tr, variant=variant)
+    assert int(hit.prim_idx[0]) == 60
+    assert abs(float(hit.t[0]) - 2.0) < 1e-5
+    assert int(hit.prim_idx[1]) == -1
+
+
+def test_deep_tree_packed_no_silent_stack_drop():
+    bvh, tris = _caterpillar_bvh()
+    tr = _identity()
+    rays = Rays(
+        origin=jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+        direction=jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+        tmin=jnp.zeros(1),
+        tmax=jnp.full(1, 3.4e38),
+    )
+    packed = traverse.pack_bvh2(bvh, tris)
+    hit, _ = traverse.traverse_packed(packed, bvh.n_internal, bvh.root, rays, tr)
+    assert int(hit.prim_idx[0]) == 60
+    assert abs(float(hit.t[0]) - 2.0) < 1e-5
+
+
 def test_packed_traversal_random(rng):
     import jax.numpy as jnp
 

@@ -46,9 +46,13 @@ def _transform_rays(rays: Rays, tr: Transformation):
     return origin, inv_dir
 
 
-def _node_step(bvh: Bvh2, t_origin, t_inv_dir, node, stack, top, hit_t, active):
+def _node_step(bvh: Bvh2, t_origin, t_inv_dir, node, stack, top, hit_t, active, ovf):
     """One internal-node step for the masked ray set: test both children,
-    go near-first, push far; pop on miss. Returns updated (node, stack, top)."""
+    go near-first, push far; pop on miss. Returns updated
+    (node, stack, top, ovf); `ovf` records rays that wanted a push while the
+    stack was full (their results are recomputed by the stackless fallback
+    — the reference silently drops the far child here,
+    `TraversalKernel.h:160,214`, a latent wrong-hit bug we do NOT inherit)."""
     n_internal = bvh.n_internal
     safe = jnp.clip(node, 0, bvh.n_nodes - 1)
     l = bvh.left[safe]
@@ -67,9 +71,9 @@ def _node_step(bvh: Bvh2, t_origin, t_inv_dir, node, stack, top, hit_t, active):
     near = jnp.where(t0n < t1n, l, r)
     far = jnp.where(t0n < t1n, r, l)
 
-    # push far child where both hit (guarded stack, reference pushes under
-    # `top < 64` with a 32-deep stack; we size the stack properly instead)
-    do_push = active & both & (top < STACK_DEPTH)
+    want_push = active & both
+    do_push = want_push & (top < STACK_DEPTH)
+    ovf = ovf | (want_push & (top >= STACK_DEPTH))
     ray_ids = jnp.arange(node.shape[0], dtype=I32)
     stack = stack.at[ray_ids, jnp.where(do_push, top, 0)].set(
         jnp.where(do_push, far, stack[:, 0])
@@ -84,7 +88,7 @@ def _node_step(bvh: Bvh2, t_origin, t_inv_dir, node, stack, top, hit_t, active):
     node_new = jnp.where(any_hit, next_hit, popped)
     top = jnp.where(active & ~any_hit, top_pop, top)
     node = jnp.where(active, node_new, node)
-    return node, stack, top
+    return node, stack, top, ovf
 
 
 def _leaf_step(bvh: Bvh2, tris, tr: Transformation, rays: Rays, node, stack, top, hit, counts, active):
@@ -143,6 +147,7 @@ def traverse_bvh2(
     t_origin, t_inv_dir = _transform_rays(rays, tr)
     n_internal = bvh.n_internal
     node, stack, top, hit, counts = _init_state(bvh, rays)
+    ovf = jnp.zeros(node.shape[0], bool)
 
     node_steps = {"if_if": 1, "while_while": 4, "speculative": 0}[variant]
 
@@ -151,7 +156,7 @@ def traverse_bvh2(
         return jnp.any(node != INVALID)
 
     def body(carry):
-        node, stack, top, hit, counts = carry
+        node, stack, top, hit, counts, ovf = carry
         alive = node != INVALID
         if variant == "speculative":
             # inner: advance node phase until no active ray sits at an
@@ -161,21 +166,21 @@ def traverse_bvh2(
                 return jnp.any((nd != INVALID) & (nd < n_internal))
 
             def ibody(c):
-                nd, st, tp, h = c
+                nd, st, tp, h, ov = c
                 act = (nd != INVALID) & (nd < n_internal)
-                nd, st, tp = _node_step(
-                    bvh, t_origin, t_inv_dir, nd, st, tp, h.t, act
+                nd, st, tp, ov = _node_step(
+                    bvh, t_origin, t_inv_dir, nd, st, tp, h.t, act, ov
                 )
-                return nd, st, tp, h
+                return nd, st, tp, h, ov
 
-            node, stack, top, hit = lax.while_loop(
-                icond, ibody, (node, stack, top, hit)
+            node, stack, top, hit, ovf = lax.while_loop(
+                icond, ibody, (node, stack, top, hit, ovf)
             )
         else:
             for _ in range(node_steps):
                 act = (node != INVALID) & (node < n_internal)
-                node, stack, top = _node_step(
-                    bvh, t_origin, t_inv_dir, node, stack, top, hit.t, act
+                node, stack, top, ovf = _node_step(
+                    bvh, t_origin, t_inv_dir, node, stack, top, hit.t, act, ovf
                 )
         leaf_act = (node != INVALID) & (node >= n_internal)
         node, top, hit, counts = _leaf_step(
@@ -185,10 +190,26 @@ def traverse_bvh2(
         # next iteration
         if variant == "if_if":
             pass
-        return node, stack, top, hit, counts
+        return node, stack, top, hit, counts, ovf
 
-    node, stack, top, hit, counts = lax.while_loop(
-        cond, body, (node, stack, top, hit, counts)
+    node, stack, top, hit, counts, ovf = lax.while_loop(
+        cond, body, (node, stack, top, hit, counts, ovf)
+    )
+    # Overflowed rays (tree deeper than the stack: degenerate Morton
+    # caterpillars) re-traverse through the stackless restart-trail engine —
+    # correct for any depth. When no ray overflowed the fallback loop body
+    # never executes.
+    hit, counts = _restart_trail_engine(
+        _bvh2_fetch(bvh, tris),
+        n_internal,
+        bvh.root,
+        rays,
+        tr,
+        t_origin,
+        t_inv_dir,
+        ~ovf,
+        _reset_hit(hit, ovf),
+        jnp.where(ovf, jnp.uint32(0), counts),
     )
     return hit, counts
 
@@ -262,10 +283,11 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
         v=jnp.zeros(n_rays, jnp.float32),
     )
     counts = jnp.zeros(n_rays, jnp.uint32)
+    ovf0 = jnp.zeros(n_rays, bool)
     ray_ids = jnp.arange(n_rays, dtype=I32)
 
     def body(c):
-        node, stack, top, hit, counts = c
+        node, stack, top, hit, counts, ovf = c
         alive = node != INVALID
         is_leaf = alive & (node >= n_internal)
         act_int = alive & ~is_leaf
@@ -285,7 +307,9 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
         both = hit_l & hit_r
         near = jnp.where(t0n < t1n, l_idx, r_idx)
         far = jnp.where(t0n < t1n, r_idx, l_idx)
-        do_push = act_int & both & (top < STACK_DEPTH)
+        want_push = act_int & both
+        do_push = want_push & (top < STACK_DEPTH)
+        ovf = ovf | (want_push & (top >= STACK_DEPTH))
         stack = stack.at[ray_ids, jnp.where(do_push, top, 0)].set(
             jnp.where(do_push, far, stack[:, 0])
         )
@@ -315,25 +339,101 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
             act_int & ~int_miss, next_int, jnp.where(need_pop, popped, node)
         )
         top = jnp.where(need_pop, pop_t, top)
-        return node, stack, top, hit, counts
+        return node, stack, top, hit, counts, ovf
 
     def cond(c):
         return jnp.any(c[0] != INVALID)
 
-    node, stack, top, hit, counts = lax.while_loop(
-        cond, body, (node, stack, top, hit, counts)
+    node, stack, top, hit, counts, ovf = lax.while_loop(
+        cond, body, (node, stack, top, hit, counts, ovf0)
+    )
+    # stack-overflowed rays re-traverse via the stackless engine (no-op
+    # loop when ovf is all-False)
+    hit, counts = _restart_trail_engine(
+        _packed_fetch(packed), n_internal, root, rays, tr,
+        t_origin, t_inv_dir, ~ovf, _reset_hit(hit, ovf),
+        jnp.where(ovf, jnp.uint32(0), counts),
     )
     return hit, counts
 
 
-def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
-    """Stackless restart-trail traversal (`TraversalKernel.h:28-146`).
+def _reset_hit(hit: HitInfo, mask):
+    """Fresh HitInfo where `mask`, passthrough elsewhere."""
+    return HitInfo(
+        prim_idx=jnp.where(mask, INVALID, hit.prim_idx),
+        t=jnp.where(mask, FLT_MAX, hit.t),
+        u=jnp.where(mask, 0.0, hit.u),
+        v=jnp.where(mask, 0.0, hit.v),
+    )
 
-    The 64-bit trail/level words are emulated with (hi, lo) u32 pairs; only
-    shifts by one, masked adds and the `-level & trail` trick are needed.
-    """
+
+def _bvh2_fetch(bvh: Bvh2, tris):
+    """Node fetcher over the plain Bvh2 SoA for the restart-trail engine."""
+    n_nodes = bvh.n_nodes
+
+    def fetch(node):
+        safe = jnp.clip(node, 0, n_nodes - 1)
+        l = bvh.left[safe]
+        r = bvh.right[safe]
+        sl = jnp.clip(l, 0, n_nodes - 1)
+        sr = jnp.clip(r, 0, n_nodes - 1)
+        prim_c = jnp.clip(l, 0, tris.shape[0] - 1)
+        tri = tris[prim_c]
+        return (
+            bvh.node_min[sl], bvh.node_max[sl],
+            bvh.node_min[sr], bvh.node_max[sr],
+            l, r,
+            tri[:, 0], tri[:, 1], tri[:, 2], l,
+        )
+
+    return fetch
+
+
+def _packed_fetch(packed):
+    """Node fetcher over the packed one-row-per-node layout (`pack_bvh2`)."""
+    mm = packed.shape[0]
+
+    def as_i(x):
+        return lax.bitcast_convert_type(x, I32)
+
+    def fetch(node):
+        row = packed[jnp.clip(node, 0, mm - 1)]
+        return (
+            row[:, 0:3], row[:, 3:6], row[:, 6:9], row[:, 9:12],
+            as_i(row[:, 12]), as_i(row[:, 13]),
+            row[:, 0:3], row[:, 3:6], row[:, 6:9], as_i(row[:, 9]),
+        )
+
+    return fetch
+
+
+def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
+    """Stackless restart-trail traversal (`TraversalKernel.h:28-146`)."""
     t_origin, t_inv_dir = _transform_rays(rays, tr)
-    n_internal = bvh.n_internal
+    n_rays = rays.origin.shape[0]
+    hit = HitInfo(
+        prim_idx=jnp.full((n_rays,), INVALID, I32),
+        t=jnp.full((n_rays,), FLT_MAX, jnp.float32),
+        u=jnp.zeros(n_rays, jnp.float32),
+        v=jnp.zeros(n_rays, jnp.float32),
+    )
+    counts = jnp.zeros(n_rays, jnp.uint32)
+    return _restart_trail_engine(
+        _bvh2_fetch(bvh, tris), bvh.n_internal, bvh.root, rays, tr,
+        t_origin, t_inv_dir, jnp.zeros(n_rays, bool), hit, counts,
+    )
+
+
+def _restart_trail_engine(
+    fetch, n_internal, root, rays: Rays, tr: Transformation,
+    t_origin, t_inv_dir, init_done, hit, counts,
+):
+    """Stackless restart-trail traversal core (`TraversalKernel.h:28-146`),
+    generic over the node storage via `fetch(node) -> (min_l, max_l, min_r,
+    max_r, left, right, v0, v1, v2, prim)` (leaf interpretation rides the
+    same fetch). Rays with `init_done` keep their given hit/counts; the
+    64-bit trail/level words are emulated with (hi, lo) u32 pairs.
+    """
     n_rays = rays.origin.shape[0]
     U32 = jnp.uint32
 
@@ -373,18 +473,11 @@ def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
     zero64 = (jnp.zeros(n_rays, U32), jnp.zeros(n_rays, U32))
     one64 = (jnp.zeros(n_rays, U32), jnp.ones(n_rays, U32))
 
-    node = jnp.zeros(n_rays, I32) + bvh.root
+    node = jnp.zeros(n_rays, I32) + root
     trail = top_bit
     level = top_bit
     pop_level = zero64
-    done = jnp.zeros(n_rays, bool)
-    hit = HitInfo(
-        prim_idx=jnp.full((n_rays,), INVALID, I32),
-        t=jnp.full((n_rays,), FLT_MAX, jnp.float32),
-        u=jnp.zeros(n_rays, jnp.float32),
-        v=jnp.zeros(n_rays, jnp.float32),
-    )
-    counts = jnp.zeros(n_rays, jnp.uint32)
+    done = init_done
 
     def pop(level, pop_level, trail, node, active):
         """`pop` (`TraversalKernel.h:33-47`): climb the trail, restart from
@@ -406,7 +499,7 @@ def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
         trail_out = sel64(active, trail_new, trail)
         pop_level_out = sel64(cont, level_new, pop_level)
         level_out = sel64(cont, top_bit, sel64(active & exit_now, level_new, level))
-        node_out = jnp.where(cont, jnp.zeros_like(node) + bvh.root, node)
+        node_out = jnp.where(cont, jnp.zeros_like(node) + root, node)
         return level_out, pop_level_out, trail_out, node_out, active & exit_now
 
     def cond(c):
@@ -416,17 +509,15 @@ def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
         done, node, trail, level, pop_level, hit, counts = c
         active = ~done
         is_leaf = active & (node >= n_internal)
+        minl, maxl, minr, maxr, l, r, rv0, rv1, rv2, prim = fetch(node)
         # --- leaf work
-        safe = jnp.clip(node, 0, bvh.n_nodes - 1)
-        prim = jnp.clip(bvh.left[safe], 0, tris.shape[0] - 1)
-        tri = tris[prim]
-        tv = A.transform_point(tri, tr.scale, tr.quat, tr.translation)
-        u, v, w, t = A.intersect_triangle(
-            tv[:, 0], tv[:, 1], tv[:, 2], rays.origin, rays.direction
-        )
+        v0 = A.transform_point(rv0, tr.scale, tr.quat, tr.translation)
+        v1 = A.transform_point(rv1, tr.scale, tr.quat, tr.translation)
+        v2 = A.transform_point(rv2, tr.scale, tr.quat, tr.translation)
+        u, v, w, t = A.intersect_triangle(v0, v1, v2, rays.origin, rays.direction)
         good = is_leaf & (u > 0) & (v > 0) & (w > 0) & (t > 0) & (t < hit.t)
         hit = HitInfo(
-            prim_idx=jnp.where(good, bvh.left[safe], hit.prim_idx),
+            prim_idx=jnp.where(good, prim, hit.prim_idx),
             t=jnp.where(good, t, hit.t),
             u=jnp.where(good, u, hit.u),
             v=jnp.where(good, v, hit.v),
@@ -435,16 +526,8 @@ def _traverse_restart_trail(bvh: Bvh2, tris, rays: Rays, tr: Transformation):
 
         # --- internal work
         is_int = active & ~is_leaf
-        l = bvh.left[safe]
-        r = bvh.right[safe]
-        sl = jnp.clip(l, 0, bvh.n_nodes - 1)
-        sr = jnp.clip(r, 0, bvh.n_nodes - 1)
-        t0n, t0f = A.slab_intersect(
-            bvh.node_min[sl], bvh.node_max[sl], t_origin, t_inv_dir, hit.t
-        )
-        t1n, t1f = A.slab_intersect(
-            bvh.node_min[sr], bvh.node_max[sr], t_origin, t_inv_dir, hit.t
-        )
+        t0n, t0f = A.slab_intersect(minl, maxl, t_origin, t_inv_dir, hit.t)
+        t1n, t1f = A.slab_intersect(minr, maxr, t_origin, t_inv_dir, hit.t)
         hit_l = t0n <= t0f
         hit_r = t1n <= t1f
         both = is_int & hit_l & hit_r
