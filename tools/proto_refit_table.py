@@ -1,4 +1,19 @@
-"""Prototype + A/B of the two-level-table anchored refit vs current."""
+"""Anchored-refit long-path table microbenchmark (winning variant).
+
+This is the surviving variant "g" of a family of eight prototypes
+(proto_refit3[..g], pruned per ADVICE r1) that timed table assemblies for
+the long-node query in `refit.refit_anchored`. Measured losers on v5e,
+262K leaves (for provenance, cited from refit.py):
+  - full stacked fine table (all levels concatenated): ~0.55 ms extra
+    concat bandwidth per build;
+  - coarse table as a separate gather operand: XLA relayouts it into VMEM
+    with ~13 ms of padded dynamic-update-slice copies;
+  - per-level gather loops: ~2.8 ms (one random row-gather per level);
+  - scatter-based long-node writeback: ~1.4 ms flat (TPU scatter floor).
+Winner (below, now in production): fine level-4 row + block-16 coarse
+lifting table assembled by one lane-major concat + transpose (a layout
+bitcast), two-sort compaction for the long-node ride-back.
+"""
 from __future__ import annotations
 
 import math
@@ -18,7 +33,7 @@ I32 = jnp.int32
 BIG = jnp.float32(3.0e38)
 
 
-def refit_anchored_v2e(leaf_min, leaf_max, first, last, radius: int = 16):
+def refit_anchored_v2g(leaf_min, leaf_max, first, last, radius: int = 16):
     """Two-level table: fine level-4 windows at the range ends + coarse
     (block=16) lifting table for the middle. Only ~12 MB is transposed into
     row-gather layout instead of the full stacked table."""
@@ -49,15 +64,16 @@ def refit_anchored_v2e(leaf_min, leaf_max, first, last, radius: int = 16):
                 [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
             )
             cur = jnp.minimum(cur, shifted)
-    t4_rows = cur.T  # [n, 6] row layout (one 6.3 MB transpose)
-
-    # coarse block table over block mins (block = 16)
+    # coarse block table over block mins (block = 16), assembled into ONE
+    # row table together with T4 so the .T lowers to a layout bitcast
     nb = (n + 15) // 16
-    # block b min = T4[16b] (clamped window covers the tail block exactly);
-    # major-dim strided row slice, then a tiny transpose back to lane-major
-    c0 = t4_rows[:: 16].T  # [6, nb]
+    padn = nb * 16
+    ptp = pt if padn == n else jnp.concatenate(
+        [pt, jnp.full((6, padn - n), BIG)], axis=1
+    )
+    c0 = ptp.reshape(6, nb, 16).min(axis=2)
     levels_c = max(1, math.ceil(math.log2(max(nb, 2))))
-    ctabs = [c0]
+    ctabs = [cur, c0]
     ccur = c0
     for k in range(1, levels_c + 1):
         s = 1 << (k - 1)
@@ -67,7 +83,8 @@ def refit_anchored_v2e(leaf_min, leaf_max, first, last, radius: int = 16):
             )
             ccur = jnp.minimum(ccur, shifted)
         ctabs.append(ccur)
-    ctab_rows = jnp.concatenate(ctabs, axis=1).T  # [(Lc+1)*nb, 6]
+    table_rows = jnp.concatenate(ctabs, axis=1).T  # [n + (Lc+1)*nb, 6]
+    t4_rows = table_rows
 
     cap = min(m, max(64, m // 12))
     n_long = jnp.sum((~short).astype(I32))
@@ -86,8 +103,8 @@ def refit_anchored_v2e(leaf_min, leaf_max, first, last, radius: int = 16):
         cnt = jnp.maximum(bl - bfs + 1, 1)
         kc = _floor_log2(cnt)
         b2 = jnp.maximum(bl - (1 << kc) + 1, 0)
-        uc = jnp.minimum(ctab_rows[kc * nb + bfs], ctab_rows[kc * nb + b2])
-        del u; return jnp.where(has_mid[:, None], uc, BIG)
+        uc = jnp.minimum(table_rows[n + kc * nb + bfs], table_rows[n + kc * nb + b2])
+        return jnp.minimum(u, jnp.where(has_mid[:, None], uc, BIG))
 
     def compact_path(_):
         key = short.astype(jnp.uint32)
@@ -144,8 +161,9 @@ def main():
 
     # correctness
     mn1, mx1 = jax.jit(refit.refit_anchored)(leaf_min, leaf_max, first0, last0)
-    mn2, mx2 = jax.jit(refit_anchored_v2e)(leaf_min, leaf_max, first0, last0)
-    ok_mn = ok_mx = True
+    mn2, mx2 = jax.jit(refit_anchored_v2g)(leaf_min, leaf_max, first0, last0)
+    ok_mn = np.array_equal(np.asarray(mn1), np.asarray(mn2))
+    ok_mx = np.array_equal(np.asarray(mx1), np.asarray(mx2))
     print("match:", ok_mn, ok_mx, flush=True)
     if not (ok_mn and ok_mx):
         bad = np.nonzero(~np.all(np.asarray(mn1) == np.asarray(mn2), axis=1))[0]
@@ -164,7 +182,7 @@ def main():
         return make_loop
 
     print(f"refit_anchored (cur)  {slope(mk(refit.refit_anchored)):8.3f} ms", flush=True)
-    print(f"refit_anchored_v2e     {slope(mk(refit_anchored_v2e)):8.3f} ms", flush=True)
+    print(f"refit_anchored_v2g     {slope(mk(refit_anchored_v2g)):8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

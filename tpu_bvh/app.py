@@ -164,7 +164,9 @@ def run(cfg: EngineConfig) -> dict:
         rpack = raster_ops.pack_raster(bvh, tris, leaf_size=16 if n < 4096 else 64)
 
         def _raster():
-            if jax.devices()[0].platform in ("tpu", "axon"):
+            from .utils.platform import on_tpu
+
+            if on_tpu():
                 hit, _ovf = raster_tpu.render_raster_tpu(
                     rpack, rays, tr, cfg.width, cfg.height
                 )

@@ -109,7 +109,8 @@ def plane_scan_auto(x, *, is_min: bool, reverse: bool):
     """Pallas on TPU (for plane sizes worth a kernel launch), lax elsewhere
     — small/batched inputs (e.g. the vmapped 32-prim batched builder) keep
     the lax path, which also vmaps trivially."""
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and x.ndim == 2 and x.shape[0] >= 4 * CHUNK:
+    from ...utils.platform import on_tpu
+
+    if on_tpu() and x.ndim == 2 and x.shape[0] >= 4 * CHUNK:
         return plane_scan(x, is_min=is_min, reverse=reverse)
     return plane_scan_reference(x, is_min=is_min, reverse=reverse)

@@ -247,7 +247,7 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
     BIGF = 3.0e38
 
     def one_round(carry):
-        nc, shift, mat, local = carry
+        nc, shift, mat, local, r = carry
         valid = lanes < nc
         cols = as_f(mat[0:6, :])
         whole = shift >= 32
@@ -326,12 +326,20 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
         mat = _compact(surv_rows, disp_k, W)
 
         shift = jnp.minimum(shift + 3, 32)
-        return (nc - nm, shift, mat, local)
+        return (nc - nm, shift, mat, local, r + 1)
 
     nc0 = sc_ref[0]
     shift0 = sc_ref[1]
-    carry = (nc0, shift0, mat_ref[:], nodes_in_ref[:])
-    carry = lax.while_loop(lambda c: c[0] > 1, one_round, carry)
+    carry = (nc0, shift0, mat_ref[:], nodes_in_ref[:], jnp.int32(0))
+    # Round bound as a hang backstop (ADVICE r1): every productive round
+    # merges >= 1 pair and the search shift saturates at 32 within 11
+    # rounds, so nc0 + 16 rounds always suffice; non-finite leaf AABBs
+    # (NaN) would otherwise make every area comparison false and spin the
+    # device forever with no host-visible progress.
+    limit = nc0 + 16
+    carry = lax.while_loop(
+        lambda c: (c[0] > 1) & (c[4] < limit), one_round, carry
+    )
     nodes_out_ref[:] = carry[3]
 
 

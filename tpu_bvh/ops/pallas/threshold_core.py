@@ -287,8 +287,9 @@ def psv_nsv_packed_reference(dlt):
 
 
 def psv_nsv_packed_auto(dlt):
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+    from ...utils.platform import on_tpu
+
+    if on_tpu() and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
         # lane-major wins 3.5x over the sublane variant on v5e (lane rolls
         # ride the shuffle network; sublane rolls are tile copies)
         return psv_nsv_packed_lanes(dlt, chunk=2048)
@@ -479,8 +480,9 @@ def psv_nsv_payload_reference(dlt, pay):
 
 
 def psv_nsv_payload_auto(dlt, pay):
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+    from ...utils.platform import on_tpu
+
+    if on_tpu() and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
         psv, psv_pay = _run_lanes_pay(
             _psv_kernel_lanes_pay, dlt, pay, False, 63, False, 2048
         )
@@ -671,8 +673,9 @@ def _run_child(kernel, dlt, reverse, interpret, chunk):
 def child_positions_auto(dlt):
     """(left i32[m], right i32[m]) internal-child boundary positions, -1
     where the child is a leaf. Pallas on TPU, XLA reference elsewhere."""
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
+    from ...utils.platform import on_tpu
+
+    if on_tpu() and dlt.ndim == 1 and dlt.shape[0] >= 2 * CHUNK:
         lpk = _run_child(_child_kernel_lanes_fwd, dlt, False, False, 2048)
         rpk = _run_child(_child_kernel_lanes_rev, dlt, True, False, 2048)
         mask = (1 << _POSB) - 1

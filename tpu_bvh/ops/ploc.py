@@ -161,8 +161,9 @@ def _round(state, radius: int):
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     as_i = lambda x: lax.bitcast_convert_type(x, I32)
 
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon"):
+    from ..utils.platform import on_tpu
+
+    if on_tpu():
         from .pallas.ploc_nn import ploc_nn_round_raw
         from .pallas.ploc_round import ploc_emit_compact
 
@@ -280,8 +281,9 @@ def ploc_build_topology(
 
     state = (jnp.asarray(n, I32), shift0, mat, nodes)
 
-    platform = jax.devices()[0].platform
-    use_finisher = platform in ("tpu", "axon")
+    from ..utils.platform import on_tpu
+
+    use_finisher = on_tpu()
     if use_finisher:
         from .pallas.ploc_round import _FIN_WIDTH, ploc_finish
 

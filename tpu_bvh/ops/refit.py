@@ -78,18 +78,21 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
     # long nodes have len > radius+1; the fine level-4 end-windows require
-    # len >= 16 so they never overshoot `last`
-    assert radius >= 15, "two-level table query requires dense radius >= 15"
+    # len >= 16 so they never overshoot `last`. Smaller radii (the parameter
+    # is advertised as flexible) take the general sparse-table path instead
+    # (ADVICE r1).
+    if radius < 15:
+        return refit_ranges(leaf_min, leaf_max, first, last)
     i = jnp.arange(m, dtype=I32)
     packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
     big = jnp.float32(3.0e38)
-    platform = jax.devices()[0].platform
+    from ..utils.platform import on_tpu
     import os
 
     # n gate: under vmap (batched tiny builds) or at small scenes the XLA
     # window loop wins; the stencil kernel pays off on big flat builds
     use_pallas = (
-        platform in ("tpu", "axon")
+        on_tpu()
         and n >= 16384
         and not os.environ.get("TBVH_NO_PALLAS_REFIT")
     )
@@ -139,7 +142,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     # levels the same way costs ~0.55 ms of concat bandwidth, and building
     # the coarse table as a separate gather operand makes XLA relayout it
     # into VMEM with ~13 ms of padded dynamic-update-slice copies (measured;
-    # see tools/proto_refit3*.py).
+    # see tools/proto_refit_table.py).
     pt = packed.T  # [6, n]
     if use_pallas:
         cur = t4  # fine level-4 row came out of the stencil kernel
