@@ -13,8 +13,16 @@ memoized) and per-build time is the slope between two loop lengths. This
 measures pure on-device time, which is what a production (untunneled)
 deployment sees.
 
+Verification gate (the on-chip analog of the reference's `_DEBUG` asserts,
+`TwoPassLbvh.cpp:145-152`): every builder's chip-built tree passes the
+structural invariant checkers, the collapsed BVH4 passes its checker and
+matches the CPU oracle byte-for-byte, and the raster render agrees with the
+wavefront engine on every pixel with no pair-budget overflow. Any mismatch
+prints CHECK FAILED and the JSON line carries "verified": false.
+
 Prints ONE JSON line on stdout:
-  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}
+  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup,
+   "verified": bool}
 (vs_baseline > 1 means faster than the reference). Detail goes to stderr.
 """
 from __future__ import annotations
@@ -37,13 +45,29 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+# Reference numbers: README.md:49-211 (RX6800). "Total" excludes collapse.
 BASELINES_MS = {
     "single_pass": 0.9886,  # README.md:109-127 Sponza Total
     "two_pass": 1.4836,  # README.md:67-85
     "ploc": 1.6410,  # README.md:193-209
     "hploc": 1.3508,  # README.md:151-167
 }
+REF_PHASES_MS = {  # single-pass sponza per-phase, README.md:109-127
+    "extents": 0.2249,
+    "morton": 0.0853,
+    "sort": 0.2496,
+    "build": 0.4288,
+}
+REF_COLLAPSE_MS = 3.3160  # single-pass sponza, README.md:119
 HEADLINE = "single_pass"
+
+CHECKS: list[tuple[str, bool]] = []
+
+
+def check(name: str, ok: bool) -> None:
+    CHECKS.append((name, bool(ok)))
+    if not ok:
+        print(f"CHECK FAILED: {name}", file=sys.stderr)
 
 
 def _slope_time(make_loop, k_lo=2, k_hi=12, reps=3):
@@ -63,22 +87,131 @@ def _t(f):
     return time.perf_counter() - t0
 
 
+def _phase_table(tris):
+    """Per-phase slope timings matching the reference's report block
+    (extents / morton / sort, `README.md:49-65`); build time per builder is
+    reported as Total minus this front half."""
+    from tpu_bvh.models import lbvh
+    from tpu_bvh.ops import morton as M
+
+    n = int(tris.shape[0])
+
+    def tri_cols(t):
+        t9 = t.reshape(n, 9).T
+        mnx = jnp.minimum(jnp.minimum(t9[0], t9[3]), t9[6])
+        mny = jnp.minimum(jnp.minimum(t9[1], t9[4]), t9[7])
+        mnz = jnp.minimum(jnp.minimum(t9[2], t9[5]), t9[8])
+        mxx = jnp.maximum(jnp.maximum(t9[0], t9[3]), t9[6])
+        mxy = jnp.maximum(jnp.maximum(t9[1], t9[4]), t9[7])
+        mxz = jnp.maximum(jnp.maximum(t9[2], t9[5]), t9[8])
+        return mnx, mny, mnz, mxx, mxy, mxz
+
+    def mk_extents(k):
+        def run():
+            def body(i, acc):
+                t = tris + i.astype(jnp.float32) * 1e-7
+                mnx, mny, mnz, mxx, mxy, mxz = tri_cols(t)
+                smin = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
+                smax = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
+                return acc + smin[0] + smax[2] + mnx[0]
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    cols = jax.jit(tri_cols)(tris)
+    mnx, mny, mnz, mxx, mxy, mxz = [jax.block_until_ready(c) for c in cols]
+    smin = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
+    smax = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
+    ext = smax - smin
+    safe = jnp.where(ext > 0, ext, 1.0)
+
+    def mk_morton(k):
+        def run():
+            def body(i, acc):
+                p = i.astype(jnp.float32) * 1e-7
+                nx = ((mnx + mxx) * 0.5 + p - smin[0]) / safe[0]
+                ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
+                nz = ((mnz + mxz) * 0.5 - smin[2]) / safe[2]
+                codes = M.extended_morton30_cols(nx, ny, nz, ext)
+                return acc + codes[0].astype(jnp.float32)
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    nx = ((mnx + mxx) * 0.5 - smin[0]) / safe[0]
+    ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
+    nz = ((mnz + mxz) * 0.5 - smin[2]) / safe[2]
+    codes0 = jax.block_until_ready(
+        jax.jit(M.extended_morton30_cols)(nx, ny, nz, ext)
+    )
+    prim_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def mk_sort(k):
+        def run():
+            def body(i, acc):
+                c = codes0 + i.astype(jnp.uint32)
+                ops = (c, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
+                out = lax.sort(ops, num_keys=1, is_stable=True)
+                return acc + out[0][0].astype(jnp.float32) + out[1][0]
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    def mk_front(k):
+        def run():
+            def body(i, acc):
+                t = tris + i.astype(jnp.float32) * 1e-7
+                c, lmn, lmx, lp = lbvh._sorted_leaves_from_tris(t, True)
+                return (acc + c[0].astype(jnp.float32) + lmn[0, 0]
+                        + lp[0].astype(jnp.float32))
+            return lax.fori_loop(0, k, body, 0.0)
+        return run
+
+    phases = {}
+    for name, mk in [("extents", mk_extents), ("morton", mk_morton),
+                     ("sort", mk_sort), ("front", mk_front)]:
+        try:
+            phases[name] = _slope_time(mk)
+        except Exception as e:  # noqa: BLE001
+            print(f"phase {name} failed: {e}", file=sys.stderr)
+            phases[name] = float("nan")
+    return phases
+
+
 def main() -> None:
-    from tpu_bvh.models import lbvh, ploc
-    from tpu_bvh.utils import scenes
+    import os
+
+    from tpu_bvh.models import lbvh, ploc as ploc_models
+    from tpu_bvh.utils import scenes, validate
+    from tpu_bvh.utils.cost import sah_cost_bvh2, sah_cost_bvh4
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    tris_np = scenes.sponza_like(262_000)
+    n_scene = int(os.environ.get("TPU_BVH_BENCH_N", 262_000))
+    tris_np = scenes.sponza_like(n_scene)
     tris = jax.device_put(jnp.asarray(tris_np), dev)
-    print(f"scene: sponza_like {tris.shape[0]} tris", file=sys.stderr)
+    n = int(tris.shape[0])
+    print(f"scene: sponza_like {n} tris", file=sys.stderr)
+
+    # ---- per-phase front table (reference report block analog) ----
+    phases = _phase_table(tris)
+    front_ms = phases.get("front", float("nan"))
+    ref_front = sum(REF_PHASES_MS[k] for k in ("extents", "morton", "sort"))
+    print("phase table (ms, vs reference single-pass sponza):", file=sys.stderr)
+    for name in ("extents", "morton", "sort"):
+        ours = phases.get(name, float("nan"))
+        ref = REF_PHASES_MS[name]
+        print(f"  {name:8s} {ours:7.3f}  (ref {ref:.3f} -> {ref/ours:5.2f}x)",
+              file=sys.stderr)
+    print(f"  front    {front_ms:7.3f}  (ref {ref_front:.3f} -> "
+          f"{ref_front/front_ms:5.2f}x)", file=sys.stderr)
 
     builders = {
         "single_pass": lbvh.build_single_pass,
         "two_pass": lbvh.build_two_pass,
+        "ploc": ploc_models.build_ploc,
+        "hploc": ploc_models.build_hploc,
     }
     results = {}
+    sah2 = {}
     for name, build in builders.items():
         def make_loop(k, build=build):
             def run():
@@ -91,36 +224,47 @@ def main() -> None:
             return run
 
         try:
-            ms = _slope_time(make_loop)
+            k_hi = 12 if "pass" in name else 4
+            ms = _slope_time(make_loop, k_lo=1, k_hi=k_hi)
             results[name] = ms
+            build_only = ms - front_ms
+            ref_total = BASELINES_MS[name]
             print(
-                f"{name}: build {ms:.3f} ms "
-                f"(vs ref {BASELINES_MS[name]:.3f} ms -> {BASELINES_MS[name]/ms:.2f}x)",
+                f"{name}: total {ms:.3f} ms (build phase {build_only:.3f}) "
+                f"vs ref {ref_total:.3f} ms -> {ref_total/ms:.2f}x",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001
             print(f"{name} bench failed: {e}", file=sys.stderr)
+            check(f"{name}_bench_ran", False)
 
-    from tpu_bvh.utils.cost import sah_cost_bvh2
-
+    # ---- on-chip structural verification + BVH2 SAH per builder ----
     for name, build in builders.items():
         try:
-            c = float(sah_cost_bvh2(build(tris)))
-            print(f"{name}: sah_bvh2 {c:.2f}", file=sys.stderr)
+            bvh = jax.block_until_ready(build(tris))
+            c = float(sah_cost_bvh2(bvh))
+            sah2[name] = c
+            ok_root = validate.check_root_aabb(bvh)
+            ok_tree = validate.check_bvh2_correctness(bvh, n)
+            check(f"{name}_root_aabb", ok_root)
+            check(f"{name}_bvh2_correct", ok_tree)
+            print(f"{name}: sah_bvh2 {c:.2f} verified="
+                  f"{ok_root and ok_tree}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"{name} cost failed: {e}", file=sys.stderr)
+            print(f"{name} verify failed: {e}", file=sys.stderr)
+            check(f"{name}_verify_ran", False)
 
-    # BVH2 -> BVH4 collapse (reference: 3.64 ms sponza, README.md:79)
+    # ---- BVH2 -> BVH4 collapse (reference: 3.32 ms sponza single-pass) ----
     try:
         from tpu_bvh.ops import collapse as collapse_ops
 
-        bvh0 = lbvh.build_single_pass(tris)
+        bvh0 = jax.block_until_ready(lbvh.build_single_pass(tris))
 
         def make_collapse_loop(k):
             def run():
                 def body(i, acc):
                     b = bvh0._replace(
-                        node_min=bvh0.node_min + i.astype(jnp.float32) * 0.0
+                        node_min=bvh0.node_min + i.astype(jnp.float32) * 1e-7
                     )
                     wide = collapse_ops.collapse_bvh2_to_bvh4(b)
                     return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
@@ -131,11 +275,50 @@ def main() -> None:
 
         ms = _slope_time(make_collapse_loop, k_lo=1, k_hi=4)
         print(
-            f"collapse: {ms:.3f} ms (vs ref 3.638 ms -> {3.638/ms:.2f}x)",
+            f"collapse: {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
+            f"{REF_COLLAPSE_MS/ms:.2f}x)",
             file=sys.stderr,
         )
+
+        # BVH4 SAH (the reference's regression oracle, Utility.cpp:351-396)
+        # + collapse quality-improvement ratio (~2.2x claimed, README.md:19)
+        wide = jax.block_until_ready(collapse_ops.collapse_bvh2_to_bvh4(bvh0))
+        from tpu_bvh.ops.aabb import triangle_aabbs
+
+        pmn, pmx = triangle_aabbs(tris)
+        c4 = float(sah_cost_bvh4(wide, pmn, pmx))
+        c2 = sah2.get("single_pass", float("nan"))
+        print(
+            f"collapse: sah_bvh4 {c4:.2f} (bvh2 {c2:.2f} -> "
+            f"improvement {c2/c4:.2f}x; ref claims ~2.2x)",
+            file=sys.stderr,
+        )
+        check("bvh4_correct", validate.check_bvh4_correctness(wide, n))
+
+        # chip collapse == CPU oracle, byte-for-byte, at an oracle-sized
+        # scene (the full CPU collapse is a Python loop; 16K is plenty to
+        # catch numeric or routing drift on the chip)
+        tris_small = jax.device_put(
+            jnp.asarray(scenes.sponza_like(16_384)), dev
+        )
+        b_small = jax.block_until_ready(lbvh.build_single_pass(tris_small))
+        w_gpu = jax.block_until_ready(
+            collapse_ops.collapse_bvh2_to_bvh4(b_small)
+        )
+        from tpu_bvh.utils.cpu_reference import collapse_cpu
+
+        w_cpu = collapse_cpu(b_small)
+        ok = True
+        for f in w_gpu._fields:
+            a = np.asarray(getattr(w_gpu, f))
+            b = np.asarray(getattr(w_cpu, f))
+            if not np.array_equal(a, b):
+                ok = False
+                print(f"collapse oracle mismatch in {f}", file=sys.stderr)
+        check("collapse_matches_cpu_oracle", ok)
     except Exception as e:  # noqa: BLE001
         print(f"collapse bench failed: {e}", file=sys.stderr)
+        check("collapse_ran", False)
 
     # batched tiny-mesh throughput (the reference's 4096-mesh demo,
     # main.cpp:39-47; no reference timing published)
@@ -168,81 +351,81 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"batched bench failed: {e}", file=sys.stderr)
 
-    import os
-
-    if os.environ.get("TPU_BVH_BENCH_ALL"):
-        from tpu_bvh.models import ploc as ploc_models
-
-        for name, build, base in [
-            ("ploc", ploc_models.build_ploc, BASELINES_MS["ploc"]),
-            ("hploc", ploc_models.build_hploc, BASELINES_MS["hploc"]),
-        ]:
-            try:
-                def mk(k, build=build):
-                    def run():
-                        def body(i, acc):
-                            t = tris + (i.astype(jnp.float32) * 1e-7)
-                            b = build(t)
-                            return acc + b.node_min[0, 0]
-
-                        return lax.fori_loop(0, k, body, 0.0)
-
-                    return run
-
-                ms = _slope_time(mk, k_lo=1, k_hi=3)
-                print(
-                    f"{name}: build {ms:.3f} ms (vs ref {base:.3f} -> {base/ms:.2f}x)",
-                    file=sys.stderr,
-                )
-            except Exception as e:  # noqa: BLE001
-                print(f"{name} bench failed: {e}", file=sys.stderr)
-
-    # traversal/render throughput, 512x512 primary rays on sponza:
-    # raster engine (the TPU-native fast path) + packed wavefront reference
+    # ---- traversal/render throughput, 512x512 primary rays on sponza ----
+    # raster engine (the TPU-native fast path); verified pixel-for-pixel
+    # against the wavefront engine with the overflow flag asserted.
     try:
-        from tpu_bvh.ops import raster, raster_tpu
-        from tpu_bvh.utils import camera, scenes as sc
+        from tpu_bvh.ops import raster, raster_tpu, traverse
+        from tpu_bvh.utils import camera
 
         bvh = lbvh.build_single_pass(tris)
-        tr, cam = sc.preset("sponza")
+        tr, cam = scenes.preset("sponza")
         w = h = 512
         rays = camera.generate_rays(cam, w, h)
         rpack = raster.pack_raster(bvh, tris, leaf_size=64)
 
         def make_loop(k):
             def run():
-                def body(i, acc):
+                def body(i, carry):
+                    acc, any_ovf = carry
                     r2 = rays._replace(
                         direction=rays.direction
                         * (1.0 + i.astype(jnp.float32) * 1e-7)
                     )
-                    hit, _ = raster_tpu._render_tpu_impl(
+                    hit, ovf = raster_tpu._render_tpu_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
                         w, h, 1024, 4096, 32, 64, False,
                     )
-                    return acc + hit.t[0] + hit.u[1]
-
-                return lax.fori_loop(0, k, body, 0.0)
+                    return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
+                return lax.fori_loop(0, k, body, (0.0, jnp.zeros((), bool)))
 
             return run
 
         ms = _slope_time(make_loop, k_lo=2, k_hi=8, reps=3)
         mrays = (w * h) / (ms * 1e-3) / 1e6
         print(
-            f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s",
+            f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s "
+            f"(target 200)",
+            file=sys.stderr,
+        )
+
+        # overflow + wavefront cross-check at the bench's exact pair budget
+        hit_k, ovf = raster_tpu._render_tpu_impl(
+            rpack.tris_sorted, rpack.prim_ids, rays, tr,
+            w, h, 1024, 4096, 32, 64, False,
+        )
+        check("raster_no_overflow", not bool(ovf))
+        packed = traverse.pack_bvh2(bvh, tris)
+        hit_o, _ = traverse.traverse_packed(packed, bvh.n_internal, bvh.root, rays, tr)
+        pk = np.asarray(hit_k.prim_idx)
+        po = np.asarray(hit_o.prim_idx)
+        tk = np.asarray(hit_k.t)
+        to = np.asarray(hit_o.t)
+        both = pk >= 0
+        same_found = np.array_equal(pk >= 0, po >= 0)
+        t_match = np.allclose(tk[both], to[both], rtol=1e-4)
+        diff = both & (pk != po)
+        # differing prims allowed only on exact-t ties
+        ties_ok = np.allclose(tk[diff], to[diff], rtol=1e-3) if diff.any() else True
+        check("raster_matches_wavefront", same_found and t_match and ties_ok)
+        print(
+            f"render verify: {int(both.sum())} hits, prim match "
+            f"{int((both & (pk == po)).sum())}/{int(both.sum())}, "
+            f"overflow={bool(ovf)}",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
         print(f"raster bench failed: {e}", file=sys.stderr)
+        check("raster_ran", False)
 
     if os.environ.get("TPU_BVH_BENCH_ALL"):
         try:
             from tpu_bvh.ops import traverse
-            from tpu_bvh.utils import camera, scenes as sc
+            from tpu_bvh.utils import camera
 
             bvh = lbvh.build_single_pass(tris)
             packed = traverse.pack_bvh2(bvh, tris)
-            tr, cam = sc.preset("sponza")
+            tr, cam = scenes.preset("sponza")
             w = h = 512
             rays = camera.generate_rays(cam, w, h)
             ni = bvh.n_internal
@@ -270,10 +453,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"traversal bench failed: {e}", file=sys.stderr)
 
+    verified = all(ok for _, ok in CHECKS) and bool(CHECKS)
+    n_fail = sum(1 for _, ok in CHECKS if not ok)
+    print(
+        f"verification: {len(CHECKS) - n_fail}/{len(CHECKS)} checks passed",
+        file=sys.stderr,
+    )
+
     value = results.get(HEADLINE)
     if value is None:
         print(json.dumps({"metric": "sponza_260k_lbvh_build_ms", "value": -1,
-                          "unit": "ms", "vs_baseline": 0}))
+                          "unit": "ms", "vs_baseline": 0, "verified": False}))
         return
     print(
         json.dumps(
@@ -282,6 +472,7 @@ def main() -> None:
                 "value": round(value, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINES_MS[HEADLINE] / value, 4),
+                "verified": verified,
             }
         )
     )
