@@ -348,6 +348,29 @@ def karras_topology_fast(codes):
     return left, right, parent, first_k, last_k
 
 
+def _topology_scans(codes):
+    """Fused topology scans: (dlt, first, last, psv_val, nsv_val, psv, lc,
+    rc) from ONE forward + ONE flipped-forward V=32 kernel pass on TPU
+    (`pallas/scan32.py` — psv and the left child share a kernel, nsv and
+    the right child share the other; tie queries resolve in-kernel via the
+    ruler-sequence closed forms). Falls back to the V=64 threshold-scan
+    reference elsewhere."""
+    from ..utils.platform import on_tpu
+    from .pallas.scan32 import CHUNK as _SC_CHUNK, scan_core
+    from .pallas.threshold_core import child_positions_reference
+
+    n = codes.shape[0]
+    assert n <= (1 << 22), "pos packing requires n <= 2^22"
+    dlt_raw = adjacent_deltas(codes)
+    dlt = jnp.where(dlt_raw <= 31, dlt_raw - 2, dlt_raw - 11)
+    if on_tpu() and dlt_raw.shape[0] >= _SC_CHUNK:
+        psv, psv_val, lc, nsv, nsv_val, rc = scan_core(dlt_raw)
+        return dlt, psv + 1, nsv, psv_val, nsv_val, psv, lc, rc
+    dlt2, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    lc, rc = child_positions_reference(dlt2)
+    return dlt2, first, last, psv_val, nsv_val, psv, lc, rc
+
+
 def apetrei_build(codes, leaf_min, leaf_max):
     """Fused single-pass build: threshold-scan topology + anchored refit.
 
@@ -355,18 +378,16 @@ def apetrei_build(codes, leaf_min, leaf_max):
     threshold-core evaluation feeds both the topology emission and the
     boundary-ordered anchored refit (node i's range contains boundary i, so
     most AABBs resolve with dense shifts — see `refit.refit_anchored`).
-    Child links come from segmented child-position scans
-    (`threshold_core.child_positions_auto`) — node k's internal child is
-    the delta argmin of each half-range, so no (side, parent) inversion
-    sort is needed at all.
+    Child links come from segmented child-position scans — node k's
+    internal child is the delta argmin of each half-range, so no (side,
+    parent) inversion sort is needed at all.
     Returns (left, right, parent, int_min, int_max, root).
     """
     from . import refit as _refit
-    from .pallas.threshold_core import child_positions_auto
 
     n = codes.shape[0]
     m = n - 1
-    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
+    dlt, first, last, psv_val, nsv_val, psv, lc, rc = _topology_scans(codes)
     nsv = last
     idx = jnp.arange(m, dtype=I32)
     is_root = (first == 0) & (last == n - 1)
@@ -381,7 +402,6 @@ def apetrei_build(codes, leaf_min, leaf_max):
     leaf_is_right = ldl > ldr
     parent_leaf = jnp.where(leaf_is_right, jdx - 1, jdx)
 
-    lc, rc = child_positions_auto(dlt)
     left_internal = jnp.where(lc >= 0, lc, m + idx)
     right_internal = jnp.where(rc >= 0, rc, m + idx + 1)
 
