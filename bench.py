@@ -158,8 +158,8 @@ def _phase_table(tris):
         def run():
             def body(i, acc):
                 t = tris + i.astype(jnp.float32) * 1e-7
-                c, lmn, lmx, lp = lbvh._sorted_leaves_from_tris(t, True)
-                return (acc + c[0].astype(jnp.float32) + lmn[0, 0]
+                c, lpk, lp = lbvh._sorted_leaves_from_tris(t, True)
+                return (acc + c[0].astype(jnp.float32) + lpk[0, 0]
                         + lp[0].astype(jnp.float32))
             return lax.fori_loop(0, k, body, 0.0)
         return run

@@ -22,6 +22,15 @@ import jax
 # virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-time dominated (single-CPU
+# box, big jits); caching executables across runs cuts repeat wall time.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # noqa: BLE001
+    pass
+
 import numpy as np
 import pytest
 

@@ -53,11 +53,10 @@ def _prefix(t, stage: int):
         return acc
     n = codes.shape[0]
     m = n - 1
-    dlt, first, last, psv_val, nsv_val, psv = radix_tree._threshold_core(codes)
+    dlt, first, last, psv_val, nsv_val, psv, lc, rc = radix_tree._topology_scans(codes)
     acc = acc + (first[0] + last[0] + psv_val[0] + nsv_val[0] + psv[0]).astype(jnp.float32)
     if stage == 1:
         return acc
-    lc, rc = child_positions_auto(dlt)
     acc = acc + (lc[0] + rc[0]).astype(jnp.float32)
     if stage == 2:
         return acc

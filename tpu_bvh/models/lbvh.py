@@ -54,6 +54,16 @@ def _sorted_leaves(refs: PrimRefs, use_extended: bool):
     Works column-major internally: extracting a column of an [n, 3] array
     costs ~0.7 ms at 262K on TPU (lane-padding relayout), so the six AABB
     columns come from one [6, n] transpose instead of six slices."""
+    codes, packed_t, leaf_prim = _sorted_leaves_packed(refs, use_extended)
+    return (
+        codes,
+        packed_t[0:3].T,
+        -packed_t[3:6].T,
+        leaf_prim,
+    )
+
+
+def _sorted_leaves_packed(refs: PrimRefs, use_extended: bool):
     cols = refs.aabb_min.T  # [3, n] — one relayout
     cols_max = refs.aabb_max.T
     return _sorted_leaves_cols(
@@ -64,6 +74,9 @@ def _sorted_leaves(refs: PrimRefs, use_extended: bool):
 
 
 def _sorted_leaves_cols(mnx, mny, mnz, mxx, mxy, mxz, prim_idx, use_extended):
+    """Returns (sorted_codes, leaf_packed_t f32[6, n] with rows
+    (min xyz, -max xyz) in sorted order, leaf_prim i32[n]) — the lane-major
+    packed layout the whole build pipeline carries."""
     scene_min = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
     scene_max = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
     ext = scene_max - scene_min
@@ -75,13 +88,12 @@ def _sorted_leaves_cols(mnx, mny, mnz, mxx, mxy, mxz, prim_idx, use_extended):
         codes = morton.extended_morton30_cols(nx, ny, nz, ext)
     else:
         codes = morton.morton30_cols(nx, ny, nz)
-    ops = (codes, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
+    ops = (codes, mnx, mny, mnz, -mxx, -mxy, -mxz, prim_idx)
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     sorted_codes = out[0]
-    leaf_min = jnp.stack(out[1:4], axis=1)
-    leaf_max = jnp.stack(out[4:7], axis=1)
+    leaf_packed_t = jnp.stack(out[1:7], axis=0)  # [6, n] major-dim stack
     leaf_prim = out[7]
-    return sorted_codes, leaf_min, leaf_max, leaf_prim
+    return sorted_codes, leaf_packed_t, leaf_prim
 
 
 def _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root):
@@ -94,9 +106,21 @@ def _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root
     return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
 
 
+def _finalize_packed(leaf_packed_t, leaf_prim, left, right, int_packed_t, root):
+    """Packed finalize: ONE lane-major concat then two row-major transposes
+    (the pipeline's only relayout to the public [M, 3] SoA)."""
+    n = leaf_prim.shape[0]
+    node_packed = jnp.concatenate([int_packed_t, leaf_packed_t], axis=1)
+    node_min = node_packed[0:3].T
+    node_max = -node_packed[3:6].T
+    left = left.at[n - 1 :].set(leaf_prim)
+    return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
+
+
 def _sorted_leaves_from_tris(tris, use_extended: bool):
     """Triangle-soup front end in pure column form: one [n,9] transpose
-    feeds per-axis AABB mins/maxes (no [n,3] minor-dim ops at all)."""
+    feeds per-axis AABB mins/maxes (no [n,3] minor-dim ops at all).
+    Returns the packed contract of `_sorted_leaves_cols`."""
     n = tris.shape[0]
     t9 = tris.reshape(n, 9).T  # [9, n]: v0x v0y v0z v1x ... v2z
     mnx = jnp.minimum(jnp.minimum(t9[0], t9[3]), t9[6])
@@ -113,26 +137,26 @@ def _sorted_leaves_from_tris(tris, use_extended: bool):
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
     """Karras two-pass LBVH (`TwoPassLbvh.cpp:17-152`). Root is node 0."""
-    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves_from_tris(
+    codes, leaf_packed_t, leaf_prim = _sorted_leaves_from_tris(
         tris, use_extended
     )
-    left, right, _parent, int_min, int_max = radix_tree.karras_build(
-        codes, leaf_min, leaf_max
+    left, right, _parent, int_packed_t = radix_tree.karras_build_packed(
+        codes, leaf_packed_t
     )
-    return _finalize(
-        leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max,
+    return _finalize_packed(
+        leaf_packed_t, leaf_prim, left, right, int_packed_t,
         jnp.zeros((), I32),
     )
 
 
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
-    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
-    left, right, _parent, int_min, int_max = radix_tree.karras_build(
-        codes, leaf_min, leaf_max
+    codes, leaf_packed_t, leaf_prim = _sorted_leaves_packed(refs, use_extended)
+    left, right, _parent, int_packed_t = radix_tree.karras_build_packed(
+        codes, leaf_packed_t
     )
-    return _finalize(
-        leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max,
+    return _finalize_packed(
+        leaf_packed_t, leaf_prim, left, right, int_packed_t,
         jnp.zeros((), I32),
     )
 
@@ -143,19 +167,19 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
     tree, split-position node layout, root index data-dependent (the
     reference reads it back from `bvhNodeCounter[n-1]`,
     `SinglePassLbvh.cpp:131`; here it's a traced scalar)."""
-    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves_from_tris(
+    codes, leaf_packed_t, leaf_prim = _sorted_leaves_from_tris(
         tris, use_extended
     )
-    left, right, _parent, int_min, int_max, root = radix_tree.apetrei_build(
-        codes, leaf_min, leaf_max
+    left, right, _parent, int_packed_t, root = radix_tree.apetrei_build_packed(
+        codes, leaf_packed_t
     )
-    return _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root)
+    return _finalize_packed(leaf_packed_t, leaf_prim, left, right, int_packed_t, root)
 
 
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
-    codes, leaf_min, leaf_max, leaf_prim = _sorted_leaves(refs, use_extended)
-    left, right, _parent, int_min, int_max, root = radix_tree.apetrei_build(
-        codes, leaf_min, leaf_max
+    codes, leaf_packed_t, leaf_prim = _sorted_leaves_packed(refs, use_extended)
+    left, right, _parent, int_packed_t, root = radix_tree.apetrei_build_packed(
+        codes, leaf_packed_t
     )
-    return _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root)
+    return _finalize_packed(leaf_packed_t, leaf_prim, left, right, int_packed_t, root)

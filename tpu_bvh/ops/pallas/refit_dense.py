@@ -61,29 +61,36 @@ def _kernel(left_ref, mid_ref, right_ref, acc_ref, t4_ref, *, radius: int,
     cols = as_f(mat[0:6, :])
     first = mat[6:7, :]
     last = mat[7:8, :]
+    # Monotone masks: the range always contains the node's own boundary, so
+    # forward validity (j = i + d in [first, last]) is just d <= la and
+    # backward validity is d <= ab — ONE compare per offset instead of two.
+    la = last - lanes   # forward budget (>= 0 on real boundaries)
+    ab = lanes - first  # backward budget
+    # Position-masked copy: lanes >= n (pad / clamped edge-block garbage)
+    # hold +big so the T4 clamped windows need no per-offset mask at all.
+    # acc windows may use it too: their d <= la mask keeps j <= last < n,
+    # where colsv == cols.
+    colsv = jnp.where(lanes <= n - 1, cols, _BIG)
 
-    # leaf data at lane j is valid for j in [0, n); out-of-window garbage
-    # (clamped edge blocks) is masked by the per-lane range checks below,
-    # which never reach past [first, last] subset of [0, n)
     acc = jnp.full((6, s), _BIG, jnp.float32)
-    t4 = cols
+    t4 = colsv
     for d in range(1, 16):
-        w = as_f(pltpu.roll(mat[0:6, :], s - d, axis=1))  # cols[:, i + d]
+        w = as_f(pltpu.roll(
+            lax.bitcast_convert_type(colsv, jnp.int32), s - d, axis=1
+        ))  # colsv[:, i + d]
+        t4 = jnp.minimum(t4, w)
         if d <= R:
-            jok = (lanes + d >= first) & (lanes + d <= last)
-            acc = jnp.where(jok, jnp.minimum(acc, w), acc)
-        # clamped window: stop growing at the last real leaf
-        t4 = jnp.where(lanes + d <= n - 1, jnp.minimum(t4, w), t4)
+            acc = jnp.where(d <= la, jnp.minimum(acc, w), acc)
     for d in range(16, R + 1):
-        w = as_f(pltpu.roll(mat[0:6, :], s - d, axis=1))
-        jok = (lanes + d >= first) & (lanes + d <= last)
-        acc = jnp.where(jok, jnp.minimum(acc, w), acc)
+        w = as_f(pltpu.roll(
+            lax.bitcast_convert_type(colsv, jnp.int32), s - d, axis=1
+        ))
+        acc = jnp.where(d <= la, jnp.minimum(acc, w), acc)
     for d in range(0, R):
         w = as_f(pltpu.roll(mat[0:6, :], d, axis=1)) if d else cols  # i - d
-        jok = (lanes - d >= first) & (lanes - d <= last)
-        acc = jnp.where(jok, jnp.minimum(acc, w), acc)
+        acc = jnp.where(d <= ab, jnp.minimum(acc, w), acc)
 
-    short = (lanes - first < R) & (last - lanes <= R)
+    short = (ab < R) & (la <= R)
     out = jnp.concatenate(
         [acc, short.astype(jnp.float32), jnp.zeros((1, s), jnp.float32)],
         axis=0,

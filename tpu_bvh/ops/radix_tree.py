@@ -371,17 +371,20 @@ def _topology_scans(codes):
     return dlt2, first, last, psv_val, nsv_val, psv, lc, rc
 
 
-def apetrei_build(codes, leaf_min, leaf_max):
-    """Fused single-pass build: threshold-scan topology + anchored refit.
+def apetrei_build_packed(codes, leaf_packed_t):
+    """Fused single-pass build: threshold-scan topology + anchored refit,
+    all in lane-major packed-AABB form.
 
     The production path behind `models.lbvh.build_single_pass`: one
     threshold-core evaluation feeds both the topology emission and the
     boundary-ordered anchored refit (node i's range contains boundary i, so
-    most AABBs resolve with dense shifts — see `refit.refit_anchored`).
+    most AABBs resolve with dense shifts — see `refit.refit_anchored_packed`).
     Child links come from segmented child-position scans — node k's
     internal child is the delta argmin of each half-range, so no (side,
     parent) inversion sort is needed at all.
-    Returns (left, right, parent, int_min, int_max, root).
+
+    leaf_packed_t: f32[6, n] (rows = leaf min xyz, -max xyz), sorted order.
+    Returns (left, right, parent, int_packed_t f32[6, m], root).
     """
     from . import refit as _refit
 
@@ -394,7 +397,7 @@ def apetrei_build(codes, leaf_min, leaf_max):
     internal_is_right = psv_val > nsv_val
     parent_internal = jnp.where(is_root, I32(-1), jnp.where(internal_is_right, psv, nsv))
 
-    int_min, int_max = _refit.refit_anchored(leaf_min, leaf_max, first, last)
+    int_packed_t = _refit.refit_anchored_packed(leaf_packed_t, first, last)
 
     jdx = jnp.arange(n, dtype=I32)
     ldl = jnp.concatenate([jnp.full((1,), -1, I32), dlt])
@@ -409,15 +412,27 @@ def apetrei_build(codes, leaf_min, leaf_max):
     right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
     parent = jnp.concatenate([parent_internal, parent_leaf])
     root_idx = jnp.argmax(is_root).astype(I32)
-    return left, right, parent, int_min, int_max, root_idx
+    return left, right, parent, int_packed_t, root_idx
 
 
-def karras_build(codes, leaf_min, leaf_max):
+def apetrei_build(codes, leaf_min, leaf_max):
+    """Row-major wrapper around `apetrei_build_packed`.
+    Returns (left, right, parent, int_min, int_max, root)."""
+    leaf_packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T
+    left, right, parent, int_packed_t, root = apetrei_build_packed(
+        codes, leaf_packed_t
+    )
+    out = int_packed_t.T
+    return left, right, parent, out[:, :3], -out[:, 3:], root
+
+
+def karras_build_packed(codes, leaf_packed_t):
     """Fused two-pass build: threshold-scan topology + anchored refit, with
     node AABBs permuted into the Karras layout by riding the relabeling
-    sort as payload (no extra gathers).
+    sort as payload (no extra gathers). Lane-major packed-AABB form.
 
-    Returns (left, right, parent, int_min, int_max); root is node 0.
+    leaf_packed_t: f32[6, n] (rows = min xyz, -max xyz), sorted order.
+    Returns (left, right, parent, int_packed_t f32[6, m]); root is node 0.
     """
     from . import refit as _refit
 
@@ -432,7 +447,7 @@ def karras_build(codes, leaf_min, leaf_max):
         )
     )
 
-    int_min_b, int_max_b = _refit.refit_anchored(leaf_min, leaf_max, first, last)
+    int_b = _refit.refit_anchored_packed(leaf_packed_t, first, last)
 
     jdx = jnp.arange(n, dtype=I32)
     key_internal = jnp.where(
@@ -448,22 +463,27 @@ def karras_build(codes, leaf_min, leaf_max):
         (
             pi.astype(jnp.uint32),
             parent_internal_k,
-            int_min_b[:, 0],
-            int_min_b[:, 1],
-            int_min_b[:, 2],
-            int_max_b[:, 0],
-            int_max_b[:, 1],
-            int_max_b[:, 2],
+            int_b[0], int_b[1], int_b[2], int_b[3], int_b[4], int_b[5],
         ),
         num_keys=1,
     )
-    int_min = jnp.stack([a0, a1, a2], axis=1)
-    int_max = jnp.stack([b0, b1, b2], axis=1)
+    int_packed_t = jnp.stack([a0, a1, a2, b0, b1, b2], axis=0)
 
     left = jnp.concatenate([sorted_vals[:m], jnp.full((n,), -1, I32)])
     right = jnp.concatenate([sorted_vals[m : 2 * m], jnp.full((n,), -1, I32)])
     parent = jnp.concatenate([parent_k, kp_leaf])
-    return left, right, parent, int_min, int_max
+    return left, right, parent, int_packed_t
+
+
+def karras_build(codes, leaf_min, leaf_max):
+    """Row-major wrapper around `karras_build_packed`.
+    Returns (left, right, parent, int_min, int_max); root is node 0."""
+    leaf_packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T
+    left, right, parent, int_packed_t = karras_build_packed(
+        codes, leaf_packed_t
+    )
+    out = int_packed_t.T
+    return left, right, parent, out[:, :3], -out[:, 3:]
 
 
 def apetrei_topology(codes):

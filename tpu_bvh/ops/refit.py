@@ -63,28 +63,41 @@ def _query_table(table, n, first, last, min_level: int = 0):
 
 
 def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
+    """Row-major wrapper around `refit_anchored_packed` (see below).
+
+    leaf_min/max: f32[n, 3]. Returns (node_min f32[m,3], node_max f32[m,3]).
+    """
+    n = leaf_min.shape[0]
+    if radius < 15:
+        return refit_ranges(leaf_min, leaf_max, first, last)
+    packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T  # [6, n]
+    out_t = refit_anchored_packed(packed_t, first, last, radius)
+    out = out_t.T
+    return out[:, :3], -out[:, 3:]
+
+
+def refit_anchored_packed(packed_t, first, last, radius: int = 16):
     """Refit for boundary-ordered nodes (node i sits between leaves i, i+1
     with first <= i < i+1 <= last — the split-position layout).
 
+    packed_t: f32[6, n] lane-major (rows = min xyz, -max xyz) — the layout
+    the whole build pipeline carries (a single [n, 6] minor-dim op costs
+    ~21x its [6, n] equivalent on TPU, so row-major never appears here).
+    Returns packed f32[6, m] (min, -max) lane-major.
+
     Exploits that ranges *contain their own index*: any node whose range
-    fits in (i-radius, i+radius] is resolved by 2*radius dense masked
-    shifted unions (~0.5 ms at 262K) — the overwhelming majority in Morton
+    fits in (i-radius, i+radius] is resolved by a blocked stencil kernel
+    (dense masked shifted unions) — the overwhelming majority in Morton
     order. The rare long-range nodes are compacted to the front with one
     stable sort and resolved with two *small* table gathers; a `lax.cond`
     falls back to the full-gather path if they overflow the static budget
     (degenerate caterpillar scenes). Everything is deterministic.
     """
-    n = leaf_min.shape[0]
+    n = packed_t.shape[1]
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
-    # long nodes have len > radius+1; the fine level-4 end-windows require
-    # len >= 16 so they never overshoot `last`. Smaller radii (the parameter
-    # is advertised as flexible) take the general sparse-table path instead
-    # (ADVICE r1).
-    if radius < 15:
-        return refit_ranges(leaf_min, leaf_max, first, last)
+    assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
     i = jnp.arange(m, dtype=I32)
-    packed = jnp.concatenate([leaf_min, -leaf_max], axis=1)  # [n, 6]
     big = jnp.float32(3.0e38)
     from ..utils.platform import on_tpu
     import os
@@ -101,15 +114,15 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         # fused stencil kernel: dense phase + fine level-4 table in one
         # VMEM-resident pass instead of ~2*radius+8 HBM round-trips.
         # i32 carriage: first/last bitcast into f32 rows are denormals and
-        # XLA:TPU flushes those (measured — it pushed every node onto the
-        # slow long path)
+        # XLA:TPU fusions flush those (measured — it pushed every node onto
+        # the slow long path)
         from .pallas.refit_dense import refit_dense_pallas
 
         as_ib = lambda x: lax.bitcast_convert_type(x, I32)
         onecol = jnp.full((1,), n - 1, I32)
         mat = jnp.concatenate(
             [
-                as_ib(packed.T),
+                as_ib(packed_t),
                 jnp.concatenate([first, onecol])[None, :],
                 jnp.concatenate([last, onecol])[None, :],
             ],
@@ -124,11 +137,11 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         # static lane slice of one padded array (an [m, 6]-major loop pays
         # ~8x lane-padding waste per op on TPU).
         pad_t = jnp.full((6, radius), big)
-        packed_t = jnp.concatenate([pad_t, packed.T, pad_t], axis=1)  # [6, n+2R]
+        padded_t = jnp.concatenate([pad_t, packed_t, pad_t], axis=1)  # [6, n+2R]
         acc_t = jnp.full((6, m), big)
         for d in range(-radius + 1, radius + 1):
             # window[:, i] = packed[i + d] (out-of-range lanes hold +big)
-            shifted = lax.dynamic_slice(packed_t, (0, radius + d), (6, m))
+            shifted = lax.dynamic_slice(padded_t, (0, radius + d), (6, m))
             j = i + d
             valid = (j >= first) & (j <= last)
             acc_t = jnp.where(valid[None, :], jnp.minimum(acc_t, shifted), acc_t)
@@ -143,7 +156,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     # the coarse table as a separate gather operand makes XLA relayout it
     # into VMEM with ~13 ms of padded dynamic-update-slice copies (measured;
     # see tools/proto_refit_table.py).
-    pt = packed.T  # [6, n]
+    pt = packed_t  # [6, n]
     if use_pallas:
         cur = t4  # fine level-4 row came out of the stencil kernel
     else:
@@ -219,11 +232,9 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
         return [ut[k] for k in range(6)]
 
     long_cols = lax.cond(n_long <= cap, compact_path, full_path, None)
-    out_t = jnp.stack(
+    return jnp.stack(
         [jnp.where(short, acc_t[k], long_cols[k]) for k in range(6)], axis=0
-    )  # [6, m] — lane-major until the final relayout
-    out = out_t.T
-    return out[:, :3], -out[:, 3:]
+    )  # [6, m] — lane-major throughout
 
 
 def refit_ranges(leaf_min, leaf_max, first, last):
