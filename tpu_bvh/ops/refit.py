@@ -189,6 +189,8 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
 
     cap = min(m, max(64, m // 12))
     n_long = jnp.sum((~short).astype(I32))
+    import os
+    _variant = os.environ.get("TBVH_LONGPATH", "")
 
     def query(cf, cl):
         # ends: two fine level-4 windows [cf, cf+16) and (cl-16, cl]
