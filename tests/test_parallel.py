@@ -85,3 +85,20 @@ def test_sharded_raster_render():
     assert np.array_equal(pk >= 0, po >= 0)
     mask = pk >= 0
     assert np.allclose(np.asarray(hit.t)[mask], np.asarray(hit_o.t)[mask], rtol=1e-4)
+
+
+def test_batched_small_matches_vmapped_single_pass(rng):
+    """The dense all-pairs small-capacity path must produce bit-identical
+    trees to the vmapped generic single-pass builder."""
+    import jax
+    import numpy as np
+    from tpu_bvh.models import batched, lbvh
+
+    meshes = [random_tris(rng, int(n)) for n in rng.integers(2, 33, size=24)]
+    tris_b, _ = batched.pad_meshes(meshes)
+    got = batched._build_batched_small(jax.numpy.asarray(tris_b))
+    want = jax.vmap(
+        lambda t: lbvh.build_single_pass(t, use_extended=False)
+    )(jax.numpy.asarray(tris_b))
+    for g, w, name in zip(got, want, got._fields):
+        assert np.array_equal(np.asarray(g), np.asarray(w)), name

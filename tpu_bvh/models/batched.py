@@ -45,7 +45,133 @@ def pad_meshes(meshes: list, capacity: int = MAX_BATCHED_PRIMS):
 def build_batched(tris_b) -> Bvh2:
     """tris_b: f32[B, M, 3, 3] -> batch-stacked Bvh2 (every field gains a
     leading B axis). Plain 30-bit Morton codes, as the batched reference
-    kernel uses (`BatchedBuildKernel.h:266-287`)."""
+    kernel uses (`BatchedBuildKernel.h:266-287`).
+
+    Capacities up to 64 take `_build_batched_small` — a dense all-pairs
+    formulation (triangular masks over [B, m, m]) that replaces the
+    vmapped full single-pass pipeline: for 32-prim meshes the generic
+    threshold scans + staged refit are ~60 log-factor passes over padded
+    arrays, while the all-pairs form is a handful of [B, 31, 32] ops (the
+    TPU analog of the reference's whole-pipeline-in-one-block batched
+    kernel, `BatchedBuildKernel.h:218-312`). Bit-identical trees."""
+    if tris_b.shape[1] <= 64:
+        return _build_batched_small(tris_b)
     return jax.vmap(lambda t: lbvh.build_single_pass(t, use_extended=False))(
         tris_b
+    )
+
+
+def _build_batched_small(tris_b) -> Bvh2:
+    from jax import lax
+
+    B, M = tris_b.shape[0], tris_b.shape[1]
+    m = M - 1
+    I = jnp.int32
+    BIGI = jnp.int32(2**30)
+    BIGF = jnp.float32(3.0e38)
+
+    t9 = tris_b.reshape(B, M, 9).transpose(0, 2, 1)  # [B, 9, M]
+    mnx = jnp.minimum(jnp.minimum(t9[:, 0], t9[:, 3]), t9[:, 6])
+    mny = jnp.minimum(jnp.minimum(t9[:, 1], t9[:, 4]), t9[:, 7])
+    mnz = jnp.minimum(jnp.minimum(t9[:, 2], t9[:, 5]), t9[:, 8])
+    mxx = jnp.maximum(jnp.maximum(t9[:, 0], t9[:, 3]), t9[:, 6])
+    mxy = jnp.maximum(jnp.maximum(t9[:, 1], t9[:, 4]), t9[:, 7])
+    mxz = jnp.maximum(jnp.maximum(t9[:, 2], t9[:, 5]), t9[:, 8])
+
+    smin = [c.min(axis=1, keepdims=True) for c in (mnx, mny, mnz)]
+    smax = [c.max(axis=1, keepdims=True) for c in (mxx, mxy, mxz)]
+    ext = [hi - lo for lo, hi in zip(smin, smax)]
+    safe = [jnp.where(e > 0, e, 1.0) for e in ext]
+    nx = ((mnx + mxx) * 0.5 - smin[0]) / safe[0]
+    ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
+    nz = ((mnz + mxz) * 0.5 - smin[2]) / safe[2]
+    from ..ops import morton as _morton
+
+    codes = _morton.morton30_cols(nx, ny, nz)
+    prim = jnp.broadcast_to(jnp.arange(M, dtype=I), (B, M))
+    out = jax.lax.sort(
+        (codes, mnx, mny, mnz, -mxx, -mxy, -mxz, prim),
+        num_keys=1, is_stable=True,
+    )
+    codes = out[0]
+    leaf_packed = jnp.stack(out[1:7], axis=1)  # [B, 6, M] (min, -max)
+    leaf_prim = out[7]
+
+    # adjacent deltas with the index-augmented tie-break
+    ci = codes[:, :-1]
+    cj = codes[:, 1:]
+    jb = jnp.arange(m, dtype=I)
+    tie = 32 + lax.clz((jb ^ (jb + 1)).astype(jnp.uint32)).astype(I)
+    x = ci ^ cj
+    dlt_raw = jnp.where(x == 0, tie[None, :], lax.clz(x).astype(I))
+    dlt = jnp.where(dlt_raw <= 31, dlt_raw - 2, dlt_raw - 11)  # [B, m]
+
+    # all-pairs triangular masks (m <= 63): psv/nsv + segmented argmins
+    jj = jnp.arange(m, dtype=I)
+    jlt = jj[None, :] < jj[:, None]  # [m(i), m(j)]: j < i
+    jgt = jj[None, :] > jj[:, None]
+    less = dlt[:, None, :] < dlt[:, :, None]  # dlt_j < dlt_i
+    psv = jnp.max(
+        jnp.where(jlt[None] & less, jj[None, None, :], -1), axis=2
+    )
+    nsv = jnp.min(
+        jnp.where(jgt[None] & less, jj[None, None, :], BIGI), axis=2
+    )
+    has_nsv = nsv < BIGI
+    first = psv + 1
+    last = jnp.where(has_nsv, nsv, m)  # n-1 sentinel == boundary count m
+    # delta value at psv/nsv (one-hot sums; -1 where none)
+    oh_p = jj[None, None, :] == psv[:, :, None]
+    psv_val = jnp.where(
+        psv >= 0, jnp.sum(jnp.where(oh_p, dlt[:, None, :], 0), axis=2), -1
+    )
+    oh_n = jj[None, None, :] == nsv[:, :, None]
+    nsv_val = jnp.where(
+        has_nsv, jnp.sum(jnp.where(oh_n, dlt[:, None, :], 0), axis=2), -1
+    )
+    # children: earliest argmin of dlt over the open intervals
+    packed = (dlt << 6) | jj[None, :]  # [B, m]
+    in_l = (jj[None, None, :] > psv[:, :, None]) & jlt[None]
+    lmin = jnp.min(jnp.where(in_l, packed[:, None, :], BIGI), axis=2)
+    lc = jnp.where(lmin < BIGI, lmin & 63, -1)
+    in_r = jgt[None] & (jj[None, None, :] < jnp.where(has_nsv, nsv, m)[:, :, None])
+    rmin = jnp.min(jnp.where(in_r, packed[:, None, :], BIGI), axis=2)
+    rc = jnp.where(rmin < BIGI, rmin & 63, -1)
+
+    # refit: masked range reduction over leaves
+    jl = jnp.arange(M, dtype=I)
+    inr = (jl[None, None, :] >= first[:, :, None]) & (
+        jl[None, None, :] <= last[:, :, None]
+    )  # [B, m, M]
+    int_packed = jnp.stack(
+        [
+            jnp.min(
+                jnp.where(inr, leaf_packed[:, k, None, :], BIGF), axis=2
+            )
+            for k in range(6)
+        ],
+        axis=1,
+    )  # [B, 6, m]
+
+    # links (apetrei layout)
+    is_root = (first == 0) & (last == M - 1)
+    internal_is_right = psv_val > nsv_val
+    parent_internal = jnp.where(
+        is_root, I(-1), jnp.where(internal_is_right, psv, last)
+    )
+    del parent_internal  # parity with single-pass: parent not stored in Bvh2
+    left_internal = jnp.where(lc >= 0, lc, m + jj[None, :])
+    right_internal = jnp.where(rc >= 0, rc, m + jj[None, :] + 1)
+    root = jnp.argmax(is_root, axis=1).astype(I)
+
+    node_packed = jnp.concatenate([int_packed, leaf_packed], axis=2)
+    node_min = node_packed[:, 0:3].transpose(0, 2, 1)
+    node_max = -node_packed[:, 3:6].transpose(0, 2, 1)
+    left = jnp.concatenate([left_internal, leaf_prim], axis=1)
+    right = jnp.concatenate(
+        [right_internal, jnp.full((B, M), -1, I)], axis=1
+    )
+    return Bvh2(
+        node_min=node_min, node_max=node_max, left=left, right=right,
+        root=root,
     )

@@ -39,8 +39,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 V = 32
-CHUNK = 4096
+CHUNK = int(os.environ.get("TBVH_SCAN32_CHUNK", "4096"))
 _BIG = 2**31 - 1
 _POSB = 22
 _POSMASK = (1 << _POSB) - 1

@@ -97,6 +97,7 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
     assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
+    assert m < (1 << 22), "long-path key packs positions in 22 bits"
     i = jnp.arange(m, dtype=I32)
     big = jnp.float32(3.0e38)
     from ..utils.platform import on_tpu
@@ -189,8 +190,6 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
 
     cap = min(m, max(64, m // 12))
     n_long = jnp.sum((~short).astype(I32))
-    import os
-    _variant = os.environ.get("TBVH_LONGPATH", "")
 
     def query(cf, cl):
         # ends: two fine level-4 windows [cf, cf+16) and (cl-16, cl]
@@ -208,32 +207,40 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
         )
         return jnp.minimum(u, jnp.where(has_mid[:, None], uc, big))
 
-    def compact_path(_):
-        # long nodes to the front (stable sort), query the table for the
-        # first `cap` slots, then ride a second sort back to position order
-        # — a scatter would cost ~1.4 ms flat on TPU, the sort ~0.35 ms.
-        # All per-component work stays in [m]-vector columns: one [m, 6]
-        # minor-dim op costs ~21x its [m] equivalent (lane padding).
-        key = short.astype(jnp.uint32)
-        _, cf, cl, cpos = lax.sort(
-            (key, first, last, i), num_keys=1, is_stable=True
-        )
-        ut = query(cf[:cap], cl[:cap]).T  # [6, cap]
-        rank = jnp.arange(m, dtype=I32)
-        in_long = rank < n_long
+    def full_path(_):
+        # overflow fallback (degenerate caterpillar scenes): four m-row
+        # gathers — slow but exact
+        ut = query(first, last).T
+        return [ut[k] for k in range(6)]
+
+    # Long nodes to the front with ONE single-key unstable sort: the key
+    # packs (short, position), so it is unique, the order matches the old
+    # stable sort, and the positions ride back out of the key itself
+    # (measured: multi-operand stable sorts were the long path's largest
+    # cost; this + the hoisted query trims ~0.4 ms at 262K). The sorts and
+    # table query run unconditionally; only the placement is under the
+    # overflow cond.
+    key = (short.astype(jnp.uint32) << 22) | i.astype(jnp.uint32)
+    skey, cfq, clq = lax.sort(
+        (key, first, last), num_keys=1, is_stable=False
+    )
+    cpos = (skey & ((1 << 22) - 1)).astype(I32)
+    ut = query(cfq[:cap], clq[:cap]).T  # [6, cap]
+    rank = jnp.arange(m, dtype=I32)
+    in_long = rank < n_long
+
+    def place(_):
+        # route answers back to position order with a second single-key
+        # unstable sort (cpos is unique); a scatter costs ~1.4 ms flat
         pad = jnp.full((m - cap,), big)
         cols = [
             jnp.where(in_long, jnp.concatenate([ut[k], pad]), big)
             for k in range(6)
         ]
-        back = lax.sort(tuple([cpos] + cols), num_keys=1)
+        back = lax.sort(tuple([cpos] + cols), num_keys=1, is_stable=False)
         return list(back[1:])
 
-    def full_path(_):
-        ut = query(first, last).T
-        return [ut[k] for k in range(6)]
-
-    long_cols = lax.cond(n_long <= cap, compact_path, full_path, None)
+    long_cols = lax.cond(n_long <= cap, place, full_path, None)
     return jnp.stack(
         [jnp.where(short, acc_t[k], long_cols[k]) for k in range(6)], axis=0
     )  # [6, m] — lane-major throughout
