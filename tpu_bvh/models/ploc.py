@@ -21,17 +21,25 @@ from . import lbvh
 I32 = jnp.int32
 
 
-def _build(tris, use_extended: bool, hploc: bool) -> Bvh2:
+def _build(
+    tris, use_extended: bool, hploc: bool,
+    shift0: int = 9, shift_step: int = 6,
+) -> Bvh2:
+    """Lane-major end-to-end: the sorted leaf columns feed the clustering
+    matrix directly and the node SoA relayout happens exactly once."""
     refs = lbvh.prim_refs_from_triangles(tris)
-    codes, leaf_min, leaf_max, leaf_prim = lbvh._sorted_leaves(refs, use_extended)
+    codes, leaf_packed_t, leaf_prim = lbvh._sorted_leaves_packed(
+        refs, use_extended
+    )
     n = refs.prim_idx.shape[0]
 
-    left, right, imin, imax = ploc_ops.ploc_build_topology(
-        leaf_min, leaf_max, codes, hploc=hploc
+    left, right, int_packed_t = ploc_ops.ploc_build_topology_packed(
+        leaf_packed_t, codes, hploc=hploc,
+        shift0=shift0, shift_step=shift_step,
     )
-    node_min = jnp.concatenate([imin, leaf_min], axis=0)
-    node_max = jnp.concatenate([imax, leaf_max], axis=0)
-    n_nodes = 2 * n - 1
+    node_packed = jnp.concatenate([int_packed_t, leaf_packed_t], axis=1)
+    node_min = node_packed[0:3].T
+    node_max = -node_packed[3:6].T
     left_full = jnp.concatenate([left, leaf_prim])
     right_full = jnp.concatenate([right, jnp.full((n,), -1, I32)])
     return Bvh2(
@@ -52,5 +60,8 @@ def build_ploc(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_hploc(tris, use_extended: bool = True) -> Bvh2:
     """HPLOC (`Hploc.cpp`): PLOC merges scheduled bottom-up through
-    Morton-prefix (LBVH subtree) segments."""
+    Morton-prefix (LBVH subtree) segments. The schedule starts at prefix
+    shift 9 and coarsens 6 bits per round (swept on sponza_like: SAH
+    281.2 vs 292.1 for the 3/+3 schedule — within 0.2% of unguided PLOC —
+    while constraining only the first ~4 rounds)."""
     return _build(tris, use_extended, hploc=True)

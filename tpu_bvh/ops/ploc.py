@@ -144,7 +144,7 @@ def _nn_round_xla(mat, cols, seg, valid, idx, n_clusters, size, R):
     return merge, dropped, ucols, rnode
 
 
-def _round(state, radius: int):
+def _round(state, radius: int, shift_step: int = 3):
     """One PLOC merge round over packed state (nc, shift_bits, mat, nodes).
 
     mat is lane-major f32[8, S]: rows 0..5 AABB (min3, -max3), row 6 the
@@ -170,7 +170,7 @@ def _round(state, radius: int):
         nn = ploc_nn_round_raw(mat, n_clusters, shift_bits, R)
         n_merged = jnp.sum((nn[7] == 1).astype(I32))
         mat, nodes = ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged)
-        shift_bits = jnp.minimum(shift_bits + 3, 32)
+        shift_bits = jnp.minimum(shift_bits + shift_step, 32)
         return (n_clusters - n_merged, shift_bits, mat, nodes)
 
     # ---------------- XLA fallback (CPU) ----------------
@@ -241,37 +241,52 @@ def _round(state, radius: int):
         [as_i(c) for c in cols] + [ccode.astype(I32), cnode], axis=0
     )
 
-    shift_bits = jnp.minimum(shift_bits + 3, 32)
+    shift_bits = jnp.minimum(shift_bits + shift_step, 32)
     n_clusters = n_clusters - n_merged
     return (n_clusters, shift_bits, mat, nodes)
 
 
 def ploc_build_topology(
-    leaf_min, leaf_max, codes, hploc: bool = False, radius: int = PLOC_RADIUS
+    leaf_min, leaf_max, codes, hploc: bool = False, radius: int = PLOC_RADIUS,
+    shift0: int = 3, shift_step: int = 3,
 ):
-    """Agglomerate Morton-sorted leaves into a BVH2 topology.
+    """Row-major wrapper over `ploc_build_topology_packed`.
 
     leaf_min/max: f32[n,3] sorted leaf AABBs; codes: u32[n] sorted Morton
     codes (used only by the HPLOC segment schedule).
-    Returns (left i32[2n-1], right i32[2n-1], node_min f32[n-1,3],
+    Returns (left i32[n-1], right i32[n-1], node_min f32[n-1,3],
     node_max f32[n-1,3]) — root = 0.
     """
-    n = leaf_min.shape[0]
+    packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T
+    left, right, int_packed_t = ploc_build_topology_packed(
+        packed_t, codes, hploc=hploc, radius=radius,
+        shift0=shift0, shift_step=shift_step,
+    )
+    out = int_packed_t.T
+    return left, right, out[:, :3], -out[:, 3:]
+
+
+def ploc_build_topology_packed(
+    leaf_packed_t, codes, hploc: bool = False, radius: int = PLOC_RADIUS,
+    shift0: int = 3, shift_step: int = 3,
+):
+    """Agglomerate Morton-sorted leaves into a BVH2 topology, lane-major.
+
+    leaf_packed_t: f32[6, n] (rows = min xyz, -max xyz) in sorted order.
+    Returns (left i32[n-1], right i32[n-1], int_packed_t f32[6, n-1]) —
+    root = 0.
+    """
+    n = leaf_packed_t.shape[1]
     n_internal = n - 1
     init_nodes = jnp.arange(n, dtype=I32) + n_internal  # leaf ids
-    shift0 = jnp.asarray(3 if hploc else 32, I32)
+    shift0 = jnp.asarray(shift0 if hploc else 32, I32)
     as_i = lambda x: lax.bitcast_convert_type(x, I32)
 
-    mat = jnp.stack(
+    mat = jnp.concatenate(
         [
-            as_i(leaf_min[:, 0]),
-            as_i(leaf_min[:, 1]),
-            as_i(leaf_min[:, 2]),
-            as_i(-leaf_max[:, 0]),
-            as_i(-leaf_max[:, 1]),
-            as_i(-leaf_max[:, 2]),
-            codes.astype(I32),
-            init_nodes,
+            as_i(leaf_packed_t),
+            codes.astype(I32)[None, :],
+            init_nodes[None, :],
         ],
         axis=0,
     )  # i32[8, n]
@@ -314,7 +329,7 @@ def ploc_build_topology(
             return s[0] > target
 
         def body(s):
-            return _round(s, radius)
+            return _round(s, radius, shift_step)
 
         state = lax.while_loop(cond, body, state)
         if target > 1:
@@ -326,6 +341,4 @@ def ploc_build_topology(
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     left = nodes[0]
     right = nodes[1]
-    imin = as_f(nodes[2:5]).T
-    imax = -as_f(nodes[5:8]).T
-    return left, right, imin, imax
+    return left, right, as_f(nodes[2:8])
