@@ -134,3 +134,43 @@ def test_finisher_matches_iterated_rounds(monkeypatch, size, nc, shift):
     # every id in [0, nc-1) written identically; everything else preserved
     np.testing.assert_array_equal(n2[:, :nc - 1], nodes_ref[:, :nc - 1])
     np.testing.assert_array_equal(n2[:, nc - 1:], pattern[:, nc - 1:])
+
+
+@pytest.mark.parametrize("size,nc", [(384, 384), (512, 300), (1024, 1000)])
+@pytest.mark.parametrize("shift", [32, 18])
+def test_fused_round_matches_xla(monkeypatch, size, nc, shift):
+    """`ploc_round_fused` (NN + emit + compaction in ONE kernel) == the
+    XLA fallback `ploc._round`."""
+    from tpu_bvh.ops.pallas import ploc_round as pr
+    monkeypatch.setattr(pr, "_BLK", 256)  # multi-block two-pass coverage
+    rng = np.random.default_rng(size + shift + 7)
+    mat = _mk_state(rng, size, nc)
+    w = 2 * size + 512
+    pattern = rng.integers(-2**30, 2**30, (8, w)).astype(np.int32)
+    nodes = jnp.asarray(pattern)
+
+    nc_a = jnp.asarray(nc, I32)
+    sb = jnp.asarray(shift, I32)
+    (nc1, sb1, mat1, nodes1) = ploc._round((nc_a, sb, mat, nodes), 8)
+
+    mat2, nodes2, nm2 = pr.ploc_round_fused(
+        mat, nodes, nc_a, sb, 8, interpret=True
+    )
+    nm = nc - int(nc1)
+    assert int(nm2) == nm
+
+    # survivor prefix identical (compacted keep rows)
+    n_keep = int(nc1) + 0  # survivors = nc - nm (merged pairs keep one)
+    # XLA path keeps merged + unmerged = nc - n_dropped = nc - nm
+    a1 = np.asarray(mat1)[:, :n_keep]
+    a2 = np.asarray(mat2)[:, :n_keep]
+    np.testing.assert_array_equal(a1, a2)
+
+    # nodes: slab region written identically, everything else preserved
+    n1 = np.asarray(nodes1)
+    n2 = np.asarray(nodes2)
+    slab = nc - 1 - nm
+    np.testing.assert_array_equal(n1[:, slab:nc - 1], n2[:, slab:nc - 1])
+    mask = np.ones(w, bool)
+    mask[slab:nc - 1] = False
+    np.testing.assert_array_equal(n2[:, mask], pattern[:, mask])

@@ -58,23 +58,21 @@ _BLK = 16384  # central block width: keeps roll/select transients inside
 # the 16 MB scoped-VMEM budget (32768 measured 20.9 MB on v5e)
 
 
-def _nn_kernel(nc_ref, left_ref, mid_ref, right_ref, out_ref, *, radius: int,
-               blk: int):
+def _nn_body(mat, nc, shift_bits, base, *, radius: int):
+    """Dense NN/merge compute on an i32[8, s] window (layout in module
+    docstring). `base` = global lane index of window column 0. Returns the
+    i32[8, s] result (rows 0..5 union bits, row 6 partner node, row 7
+    flags: 1 merge / 2 dropped); only columns whose full +-2R neighborhood
+    is inside the window are trustworthy."""
     R = radius
-    H = _HALO
-    mat = jnp.concatenate(
-        [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
-    )  # i32[8, blk + 2H] window
     s = mat.shape[1]
-    nc = nc_ref[0]
-    shift = jnp.minimum(nc_ref[1], 31)
-    whole = nc_ref[1] >= 32  # one global segment (plain PLOC)
+    shift = jnp.minimum(shift_bits, 31)
+    whole = shift_bits >= 32  # one global segment (plain PLOC)
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
 
     # global lane index of each window column (halo lanes go negative /
     # past the end at the edges, where the clamped neighbor block repeats
     # data — all guarded out below)
-    base = pl.program_id(0) * blk - H
     lanes = base + lax.broadcasted_iota(jnp.int32, (1, s), 1)
     valid = (lanes >= 0) & (lanes < nc)
     cols = as_f(mat[0:6, :])
@@ -135,9 +133,19 @@ def _nn_kernel(nc_ref, left_ref, mid_ref, right_ref, out_ref, *, radius: int,
     ucols = as_i(jnp.minimum(cols, as_f(partner[0:6, :])))
 
     flags = merge.astype(jnp.int32) + 2 * dropped.astype(jnp.int32)
-    out = jnp.concatenate(
+    return jnp.concatenate(
         [ucols, partner[7:8, :], flags], axis=0
     )  # i32[8, s]: rows 0..5 union bits, row 6 partner cnode, row 7 flags
+
+
+def _nn_kernel(nc_ref, left_ref, mid_ref, right_ref, out_ref, *, radius: int,
+               blk: int):
+    H = _HALO
+    mat = jnp.concatenate(
+        [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+    )  # i32[8, blk + 2H] window
+    base = pl.program_id(0) * blk - H
+    out = _nn_body(mat, nc_ref[0], nc_ref[1], base, radius=radius)
     out_ref[:] = out[:, H:H + blk]
 
 

@@ -228,6 +228,209 @@ def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
 
 
 # ---------------------------------------------------------------------------
+# Fully fused round: NN stencil + emit/survivor compaction in ONE kernel.
+# A two-pass sequential grid replaces the separate-dispatch barrier: pass 0
+# runs the halo NN stencil per block (`ploc_nn._nn_body`), parks the NN
+# matrix in an HBM scratch output, and accumulates the global merged count
+# in SMEM (the reference's cross-block serialized offset,
+# `/root/reference/src/Ploc++Kernel.h:341-347`, is exactly this barrier —
+# there a spin on an atomic, here the sequential TPU grid). Pass 1 then
+# knows the round's slab base and streams emit + survivors with running
+# carries. Saves one dispatch plus all XLA glue (the n_merged reduction
+# and scalar updates) per merge round.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(sc_ref, left_ref, mid_ref, right_ref, nodes_ref, surv_ref,
+                  nodes_out_ref, surv_out_ref, nn_hbm_ref, nm_ref,
+                  carry_ref, nnwin_ref, ewin_ref, swin_ref,
+                  nsem, esem, ssem, *, radius: int, blk: int):
+    from .ploc_nn import _HALO, _nn_body
+
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    nc = sc_ref[0]
+
+    @pl.when((p == 0) & (i == 0))
+    def _():
+        carry_ref[0] = 0  # pass 0: total merged so far
+        carry_ref[1] = 0  # pass 1: emit carry
+        carry_ref[2] = 0  # pass 1: survivor carry
+
+    @pl.when(p == 0)
+    def _pass0():
+        H = _HALO
+        win = jnp.concatenate(
+            [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+        )
+        out = _nn_body(win, nc, sc_ref[1], i * blk - H, radius=radius)
+        out = out[:, H:H + blk]
+        nnwin_ref[:, :blk] = out
+        lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        cnt = jnp.sum(
+            ((out[7:8, :] == 1) & (lanes_g < nc)).astype(jnp.int32)
+        )
+        carry_ref[0] = carry_ref[0] + cnt
+        st = pltpu.make_async_copy(
+            nnwin_ref.at[:, pl.ds(0, blk)],
+            nn_hbm_ref.at[:, pl.ds(i * blk, blk)], nsem,
+        )
+        st.start()
+        st.wait()
+
+    @pl.when(p == 1)
+    def _pass1():
+        n_merged = carry_ref[0]
+        slab_start = nc - 1 - n_merged
+
+        @pl.when(i == 0)
+        def _():
+            nm_ref[0] = n_merged
+
+        ld = pltpu.make_async_copy(
+            nn_hbm_ref.at[:, pl.ds(i * blk, blk)],
+            nnwin_ref.at[:, pl.ds(0, blk)], nsem,
+        )
+        ld.start()
+        state = mid_ref[:]
+        ld.wait()
+        nn = nnwin_ref[:, :blk]
+
+        lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        lanes_l = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        valid = lanes_g < nc
+        flags = nn[7:8, :]
+        merge = valid & (flags == 1)
+        dropped = valid & (flags == 2)
+        keep = valid & ~dropped
+
+        carry_m = carry_ref[1]
+        carry_k = carry_ref[2]
+
+        f2 = jnp.concatenate(
+            [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
+        )
+        excl = _cumsum_excl(f2, blk)
+        rank_m = excl[0:1, :]
+        rank_k = excl[1:2, :]
+        cnt_m = jnp.sum(f2[0, :])
+        cnt_k = jnp.sum(f2[1, :])
+
+        new_id = slab_start + carry_m + rank_m
+
+        emit_rows = jnp.concatenate(
+            [state[7:8, :], nn[6:7, :], nn[0:6, :]], axis=0
+        )
+        disp_m = jnp.where(merge, lanes_l - rank_m, 0)
+        emit_c = _compact(emit_rows, disp_m, blk)
+
+        surv_cols = jnp.where(merge, nn[0:6, :], state[0:6, :])
+        surv_id = jnp.where(merge, new_id, state[7:8, :])
+        surv_rows = jnp.concatenate(
+            [surv_cols, state[6:7, :], surv_id], axis=0
+        )
+        disp_k = jnp.where(keep, lanes_l - rank_k, 0)
+        surv_c = _compact(surv_rows, disp_k, blk)
+
+        def stitch(stream_c, cnt, base, hbm_ref, win_ref, dma_sem):
+            q = lax.rem(base, 128)
+            w0 = pl.multiple_of(base - q, 128)
+            ld2 = pltpu.make_async_copy(
+                hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], win_ref, dma_sem
+            )
+            ld2.start()
+            ext = jnp.concatenate(
+                [stream_c, jnp.zeros((8, _WPAD), jnp.int32)], axis=1
+            )
+            ext = pltpu.roll(ext, q, axis=1)
+            wl = lax.broadcasted_iota(jnp.int32, (1, blk + _WPAD), 1)
+            ld2.wait()
+            merged_win = jnp.where((wl >= q) & (wl < q + cnt), ext, win_ref[:])
+            win_ref[:] = merged_win
+            st2 = pltpu.make_async_copy(
+                win_ref, hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], dma_sem
+            )
+            st2.start()
+            st2.wait()
+
+        stitch(emit_c, cnt_m, slab_start + carry_m, nodes_out_ref, ewin_ref,
+               esem)
+        stitch(surv_c, cnt_k, carry_k, surv_out_ref, swin_ref, ssem)
+
+        carry_ref[1] = carry_m + cnt_m
+        carry_ref[2] = carry_k + cnt_k
+
+
+def ploc_round_fused(mat, nodes, n_clusters, shift_bits, radius: int,
+                     interpret: bool = False):
+    """One full PLOC merge round (NN + emit + compaction) in one kernel.
+
+    mat: i32[8, S] cluster state (module-docstring layout); nodes:
+    i32[8, W] node buffer (donated/aliased), W >= S + blk + 256.
+    Returns (new_mat i32[8, S], nodes i32[8, W], n_merged i32[]).
+    """
+    from .ploc_nn import _BIGBITS, _HALO
+
+    if radius * 2 > _HALO:
+        raise ValueError(f"radius {radius} needs halo >= {radius * 2}")
+    s = mat.shape[1]
+    blk = min(_BLK, -(-s // 128) * 128)
+    pad = (-s) % blk
+    if pad:
+        mat = jnp.concatenate(
+            [mat, jnp.full((8, pad), _BIGBITS, jnp.int32)], axis=1
+        )
+    sp = mat.shape[1]
+    grid = sp // blk
+    assert nodes.shape[1] >= s + blk + _WPAD, (
+        f"nodes buffer needs >= {s + blk + _WPAD} cols, got {nodes.shape[1]}"
+    )
+    sc = jnp.stack(
+        [jnp.asarray(n_clusters, jnp.int32),
+         jnp.asarray(shift_bits, jnp.int32)]
+    )
+    surv0 = jnp.zeros((8, sp + blk + _WPAD), jnp.int32)
+    clamp = lambda j: jnp.clip(j, 0, grid - 1)
+    nodes_out, surv, _nn, nm = pl.pallas_call(
+        functools.partial(_fused_kernel, radius=radius, blk=blk),
+        grid=(2, grid),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, blk), lambda p, i: (0, clamp(i - 1))),
+            pl.BlockSpec((8, blk), lambda p, i: (0, i)),
+            pl.BlockSpec((8, blk), lambda p, i: (0, clamp(i + 1))),
+            pl.BlockSpec(memory_space=pl.ANY),  # nodes (aliased out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # surv buffer (aliased out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # NN scratch (discarded)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
+            jax.ShapeDtypeStruct(surv0.shape, jnp.int32),
+            jax.ShapeDtypeStruct((8, sp), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((8, blk), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(sc, mat, mat, mat, nodes, surv0)
+    return surv[:, :s], nodes_out, nm[0]
+
+
+# ---------------------------------------------------------------------------
 # Single-invocation finisher: once the live cluster count fits one VMEM
 # block, every remaining merge round runs inside ONE kernel — the TPU
 # analog of the reference's single-block `SinglePassPloc`

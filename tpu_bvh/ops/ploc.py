@@ -51,7 +51,8 @@ I32 = jnp.int32
 U32 = jnp.uint32
 INVALID = jnp.int32(-1)
 _BIG = jnp.float32(3.0e38)
-_STAGE_RATIO = 2
+_STAGE_RATIO = 1.4  # ladder step: rounds merge ~20-35%, so a
+# 2x ladder left rounds running at up to 2x the live width
 _MIN_STAGE = 4096
 
 
@@ -150,11 +151,12 @@ def _round(state, radius: int, shift_step: int = 3):
     mat is lane-major f32[8, S]: rows 0..5 AABB (min3, -max3), row 6 the
     Morton code (u32 bitcast), row 7 the cluster node id (i32 bitcast).
 
-    On TPU the whole round is two Pallas kernels — the NN/merge stencil
-    (`pallas.ploc_nn`) and the sort-free emit + survivor compaction
-    (`pallas.ploc_round`) — with only the n_merged reduction and scalar
-    updates in XLA. Elsewhere: the bounded-offset XLA NN fallback plus two
-    stable sorts (emit slab + survivor compaction)."""
+    On TPU the whole round is ONE Pallas kernel
+    (`pallas.ploc_round.ploc_round_fused`): a two-pass sequential grid runs
+    the halo NN stencil, then the sort-free emit + survivor compaction —
+    only the scalar count/shift updates stay in XLA. Elsewhere: the
+    bounded-offset XLA NN fallback plus two stable sorts (emit slab +
+    survivor compaction)."""
     (n_clusters, shift_bits, mat, nodes) = state
     size = mat.shape[1]
     R = radius
@@ -164,12 +166,11 @@ def _round(state, radius: int, shift_step: int = 3):
     from ..utils.platform import on_tpu
 
     if on_tpu():
-        from .pallas.ploc_nn import ploc_nn_round_raw
-        from .pallas.ploc_round import ploc_emit_compact
+        from .pallas.ploc_round import ploc_round_fused
 
-        nn = ploc_nn_round_raw(mat, n_clusters, shift_bits, R)
-        n_merged = jnp.sum((nn[7] == 1).astype(I32))
-        mat, nodes = ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged)
+        mat, nodes, n_merged = ploc_round_fused(
+            mat, nodes, n_clusters, shift_bits, R
+        )
         shift_bits = jnp.minimum(shift_bits + shift_step, 32)
         return (n_clusters - n_merged, shift_bits, mat, nodes)
 
@@ -291,8 +292,10 @@ def ploc_build_topology_packed(
         axis=0,
     )  # i32[8, n]
     # packed emit buffer (lane-major), over-allocated so both the XLA slab
-    # window and the Pallas stitched RMW window never run past the end
-    nodes = jnp.zeros((8, n_internal + max(n, 8192 + 512)), I32)
+    # window and the Pallas stitched RMW window never run past the end:
+    # the fused round needs n_internal + s + blk + _WPAD cols where
+    # blk <= min(16K, round128(s)) and s <= n
+    nodes = jnp.zeros((8, n_internal + max(n + 512, 16384 + 512)), I32)
 
     state = (jnp.asarray(n, I32), shift0, mat, nodes)
 
@@ -312,7 +315,7 @@ def ploc_build_topology_packed(
     sizes = []
     while size > floor:
         sizes.append(size)
-        size = max(floor, size // _STAGE_RATIO)
+        size = max(floor, ((int(size / _STAGE_RATIO) + 127) // 128) * 128)
     sizes.append(size)
 
     for si, size in enumerate(sizes):
