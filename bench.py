@@ -311,7 +311,7 @@ def main() -> None:
         ok = True
         for f in w_gpu._fields:
             a = np.asarray(getattr(w_gpu, f))
-            b = np.asarray(getattr(w_cpu, f))
+            b = np.asarray(w_cpu[f])  # collapse_cpu returns a dict
             if not np.array_equal(a, b):
                 ok = False
                 print(f"collapse oracle mismatch in {f}", file=sys.stderr)
@@ -342,7 +342,9 @@ def main() -> None:
 
             return run
 
-        ms = _slope_time(mk_batched, k_lo=1, k_hi=4)
+        # wide k spread: per-iter cost is small vs dispatch noise, and a
+        # narrow spread produced negative slopes on the tunneled chip
+        ms = _slope_time(mk_batched, k_lo=2, k_hi=16, reps=5)
         print(
             f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
             f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",

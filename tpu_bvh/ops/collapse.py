@@ -4,8 +4,13 @@ The reference runs a persistent kernel spinning on a global task queue with
 atomic slot allocation (`/root/reference/src/TwoPassLbvhKernel.h:237-337`).
 The TPU version streams the same BFS task queue in fixed-size slabs:
 
-* every bvh2 node is pre-packed into a 12-float row (child ids, area,
-  AABB) so each child access during expansion is ONE row-gather;
+* every bvh2 node is pre-packed into a 12-lane **int32** row (child ids,
+  area bits, AABB bits) so each child access during expansion is ONE
+  row-gather. The row is i32, never f32: XLA:TPU flushes f32 denormals
+  inside fusions, and int ids bitcast into f32 ARE denormals — carrying
+  the row as f32 silently zeroed child/prim ids on real chips (floats
+  ride as bits instead; non-negative floats are order-isomorphic to
+  their i32 bit patterns, so the area argmax stays in i32 too);
 * a `lax.while_loop` carries a cursor (start, alloc) over the task queue;
   each iteration processes the slab [start, start+B) with `dynamic_slice`
   (static size, dynamic offset), expands every task's largest-area internal
@@ -35,12 +40,13 @@ INVALID = jnp.int32(-1)
 SLAB = 4096
 
 
-def _as_f(x):
-    return lax.bitcast_convert_type(x.astype(I32), jnp.float32)
-
-
-def _as_i(x):
+def _f_bits(x):
+    """Float -> i32 bit pattern (safe carriage on TPU; see module doc)."""
     return lax.bitcast_convert_type(x, I32)
+
+
+def _bits_f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
 
 
 @jax.jit
@@ -55,15 +61,16 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
     cap_pad = cap + slab
 
     areas = A.area(bvh.node_min, bvh.node_max)
-    # packed per-node row: [left, right, area, min3, max3, pad3] -> 12
+    # packed per-node i32 row: [left, right, areaBits, minBits3, maxBits3,
+    # pad3] -> 12 (areas are >= 0, so their bit patterns order like floats)
     prow = jnp.concatenate(
         [
-            _as_f(bvh.left)[:, None],
-            _as_f(bvh.right)[:, None],
-            areas[:, None],
-            bvh.node_min,
-            bvh.node_max,
-            jnp.zeros((mm, 3), jnp.float32),
+            bvh.left.astype(I32)[:, None],
+            bvh.right.astype(I32)[:, None],
+            _f_bits(areas)[:, None],
+            _f_bits(bvh.node_min),
+            _f_bits(bvh.node_max),
+            jnp.zeros((mm, 3), I32),
         ],
         axis=1,
     )
@@ -92,11 +99,11 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         task_b2 = lax.dynamic_slice(tq_id, (start,), (slab,))
         task_par = lax.dynamic_slice(tq_parent, (start,), (slab,))
         trow = fetch(task_b2)
-        l_id = _as_i(trow[:, 0])
-        r_id = _as_i(trow[:, 1])
+        l_id = trow[:, 0]
+        r_id = trow[:, 1]
         ids = jnp.stack([l_id, r_id, jnp.full_like(l_id, INVALID), jnp.full_like(l_id, INVALID)], axis=1)
         rowdata = jnp.stack(
-            [fetch(l_id), fetch(r_id), jnp.zeros((slab, 12)), jnp.zeros((slab, 12))],
+            [fetch(l_id), fetch(r_id), jnp.zeros((slab, 12), I32), jnp.zeros((slab, 12), I32)],
             axis=1,
         )
         count = jnp.full((slab,), 2, I32)
@@ -105,21 +112,19 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         for _ in range(2):
             in_slot = slot_ids < count[:, None]
             is_int = in_slot & (ids >= 0) & (ids < n2_int)
-            slot_area = jnp.where(is_int, rowdata[:, :, 2], -1.0)
+            # area bits compare like floats (areas >= 0); -1 sentinel loses
+            slot_area = jnp.where(is_int, rowdata[:, :, 2], -1)
             pos = jnp.argmax(slot_area, axis=1).astype(I32)
             best = jnp.max(slot_area, axis=1)
-            do = active & (best > 0.0)  # strict >0 like the reference's maxArea=0
+            do = active & (best > 0)  # strict >0 like the reference's maxArea=0
             onehot = slot_ids == pos[:, None]
-            # select (not sum!) the chosen slot: lanes 0/1 hold bitcast int
-            # ids, which are denormal floats — arithmetic flushes them to
-            # zero; `where` chains are bit-preserving
             chosen_row = rowdata[:, 0]
             for k in range(1, 4):
                 chosen_row = jnp.where(
                     (pos == k)[:, None], rowdata[:, k], chosen_row
                 )
-            cl = _as_i(chosen_row[:, 0])
-            cr = _as_i(chosen_row[:, 1])
+            cl = chosen_row[:, 0]
+            cr = chosen_row[:, 1]
             row_cl = fetch(cl)
             row_cr = fetch(cr)
             ids = jnp.where(do[:, None] & onehot, cl[:, None], ids)
@@ -150,7 +155,7 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
             new_ids,
             jnp.where(is_leaf_child, cap + (ids - n2_int), INVALID),
         )
-        cmin_slab = rowdata[:, :, 3:6]
+        cmin_slab = rowdata[:, :, 3:6]  # f32 bits carried as i32
         cmax_slab = rowdata[:, :, 6:9]
 
         # contiguous write-back of this slab's wide nodes
@@ -171,7 +176,7 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
 
         # wide leaves
         leaf_slot = jnp.where(is_leaf_child, ids - n2_int, n_leaves).reshape(-1)
-        leaf_prim_vals = _as_i(rowdata[:, :, 0]).reshape(-1)  # leaf's left = prim
+        leaf_prim_vals = rowdata[:, :, 0].reshape(-1)  # leaf's left = prim
         leaf_prim = leaf_prim.at[leaf_slot].set(leaf_prim_vals, mode="drop")
         leaf_parent = leaf_parent.at[leaf_slot].set(
             jnp.repeat(gidx, 4), mode="drop"
@@ -205,8 +210,8 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         jnp.full((cap_pad,), INVALID).at[0].set(bvh.root.astype(I32)),
         jnp.full((cap_pad,), INVALID),
         jnp.full((cap_pad, 4), INVALID),
-        jnp.zeros((cap_pad, 4, 3), jnp.float32),
-        jnp.zeros((cap_pad, 4, 3), jnp.float32),
+        jnp.zeros((cap_pad, 4, 3), I32),
+        jnp.zeros((cap_pad, 4, 3), I32),
         jnp.full((cap_pad,), INVALID),
         jnp.zeros((cap_pad,), I32),
         jnp.full((n_leaves,), INVALID),
@@ -227,8 +232,8 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         leaf_parent,
     ) = carry
     return Bvh4(
-        child_min=cmin[:cap],
-        child_max=cmax[:cap],
+        child_min=_bits_f(cmin[:cap]),
+        child_max=_bits_f(cmax[:cap]),
         child=child[:cap],
         parent=parent[:cap],
         child_count=child_count[:cap],

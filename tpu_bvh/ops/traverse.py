@@ -215,43 +215,46 @@ def traverse_bvh2(
 
 
 def pack_bvh2(bvh: Bvh2, tris):
-    """Traversal-optimized layout: one f32[16] row per node.
+    """Traversal-optimized layout: one i32[16] row per node.
 
     Internal row: [min_l(3), max_l(3), min_r(3), max_r(3), left, right, -, -]
     Leaf row:     [v0(3), v1(3), v2(3), prim, -, ...]
-    (index fields bitcast into float lanes). A traversal step then needs
-    exactly ONE row-gather instead of six — the dominant cost on TPU, where
-    a random row-gather costs ~100x a dense op. The reference gets the same
-    effect from SIMT caches; this layout makes it explicit. Built once per
-    scene, reused across frames.
+    Float fields ride as i32 bit patterns — NOT the other way around:
+    XLA:TPU flushes f32 denormals inside fusions, and int indices bitcast
+    into f32 lanes ARE denormals (this silently zeroed child/prim ids on
+    real chips). A traversal step then needs exactly ONE row-gather instead
+    of six — the dominant cost on TPU, where a random row-gather costs
+    ~100x a dense op. The reference gets the same effect from SIMT caches;
+    this layout makes it explicit. Built once per scene, reused across
+    frames.
     """
     ni = bvh.n_internal
     mm = bvh.n_nodes
     l = jnp.clip(bvh.left[:ni], 0, mm - 1)
     r = jnp.clip(bvh.right[:ni], 0, mm - 1)
 
-    def as_f(x):
-        return lax.bitcast_convert_type(x.astype(I32), jnp.float32)
+    def bits(x):
+        return lax.bitcast_convert_type(x, I32)
 
     internal = jnp.concatenate(
         [
-            bvh.node_min[l],
-            bvh.node_max[l],
-            bvh.node_min[r],
-            bvh.node_max[r],
-            as_f(bvh.left[:ni])[:, None],
-            as_f(bvh.right[:ni])[:, None],
-            jnp.zeros((ni, 2), jnp.float32),
+            bits(bvh.node_min[l]),
+            bits(bvh.node_max[l]),
+            bits(bvh.node_min[r]),
+            bits(bvh.node_max[r]),
+            bvh.left[:ni].astype(I32)[:, None],
+            bvh.right[:ni].astype(I32)[:, None],
+            jnp.zeros((ni, 2), I32),
         ],
         axis=1,
     )
     prim = jnp.clip(bvh.left[ni:], 0, tris.shape[0] - 1)
-    tv = tris[prim].reshape(-1, 9)
+    tv = bits(tris[prim].reshape(-1, 9))
     leaf = jnp.concatenate(
         [
             tv,
-            as_f(bvh.left[ni:])[:, None],
-            jnp.zeros((mm - ni, 6), jnp.float32),
+            bvh.left[ni:].astype(I32)[:, None],
+            jnp.zeros((mm - ni, 6), I32),
         ],
         axis=1,
     )
@@ -270,8 +273,8 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
     n_rays = rays.origin.shape[0]
     t_origin, t_inv_dir = _transform_rays(rays, tr)
 
-    def as_i(x):
-        return lax.bitcast_convert_type(x, I32)
+    def as_f(x):
+        return lax.bitcast_convert_type(x, jnp.float32)
 
     node = jnp.zeros((n_rays,), I32) + root
     stack = jnp.full((n_rays, STACK_DEPTH), INVALID, I32)
@@ -291,16 +294,16 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
         alive = node != INVALID
         is_leaf = alive & (node >= n_internal)
         act_int = alive & ~is_leaf
-        row = packed[jnp.clip(node, 0, mm - 1)]  # [R, 16]
+        row = packed[jnp.clip(node, 0, mm - 1)]  # i32 [R, 16]
 
         # internal interpretation: two-child slab test
-        l_idx = as_i(row[:, 12])
-        r_idx = as_i(row[:, 13])
+        l_idx = row[:, 12]
+        r_idx = row[:, 13]
         t0n, t0f = A.slab_intersect(
-            row[:, 0:3], row[:, 3:6], t_origin, t_inv_dir, hit.t
+            as_f(row[:, 0:3]), as_f(row[:, 3:6]), t_origin, t_inv_dir, hit.t
         )
         t1n, t1f = A.slab_intersect(
-            row[:, 6:9], row[:, 9:12], t_origin, t_inv_dir, hit.t
+            as_f(row[:, 6:9]), as_f(row[:, 9:12]), t_origin, t_inv_dir, hit.t
         )
         hit_l = t0n <= t0f
         hit_r = t1n <= t1f
@@ -318,11 +321,11 @@ def traverse_packed(packed, n_internal, root, rays: Rays, tr: Transformation):
         int_miss = act_int & ~(hit_l | hit_r)
 
         # leaf interpretation: world-space triangle test off the same row
-        v0 = A.transform_point(row[:, 0:3], tr.scale, tr.quat, tr.translation)
-        v1 = A.transform_point(row[:, 3:6], tr.scale, tr.quat, tr.translation)
-        v2 = A.transform_point(row[:, 6:9], tr.scale, tr.quat, tr.translation)
+        v0 = A.transform_point(as_f(row[:, 0:3]), tr.scale, tr.quat, tr.translation)
+        v1 = A.transform_point(as_f(row[:, 3:6]), tr.scale, tr.quat, tr.translation)
+        v2 = A.transform_point(as_f(row[:, 6:9]), tr.scale, tr.quat, tr.translation)
         u, v, w, t = A.intersect_triangle(v0, v1, v2, rays.origin, rays.direction)
-        prim = as_i(row[:, 9])
+        prim = row[:, 9]
         good = is_leaf & (u > 0) & (v > 0) & (w > 0) & (t > 0) & (t < hit.t)
         hit = HitInfo(
             prim_idx=jnp.where(good, prim, hit.prim_idx),
@@ -393,15 +396,16 @@ def _packed_fetch(packed):
     """Node fetcher over the packed one-row-per-node layout (`pack_bvh2`)."""
     mm = packed.shape[0]
 
-    def as_i(x):
-        return lax.bitcast_convert_type(x, I32)
+    def as_f(x):
+        return lax.bitcast_convert_type(x, jnp.float32)
 
     def fetch(node):
-        row = packed[jnp.clip(node, 0, mm - 1)]
+        row = packed[jnp.clip(node, 0, mm - 1)]  # i32 [R, 16]
+        f = as_f(row[:, 0:12])
         return (
-            row[:, 0:3], row[:, 3:6], row[:, 6:9], row[:, 9:12],
-            as_i(row[:, 12]), as_i(row[:, 13]),
-            row[:, 0:3], row[:, 3:6], row[:, 6:9], as_i(row[:, 9]),
+            f[:, 0:3], f[:, 3:6], f[:, 6:9], f[:, 9:12],
+            row[:, 12], row[:, 13],
+            f[:, 0:3], f[:, 3:6], f[:, 6:9], row[:, 9],
         )
 
     return fetch
