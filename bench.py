@@ -218,7 +218,7 @@ def main() -> None:
                 def body(i, acc):
                     t = tris + (i.astype(jnp.float32) * 1e-7)
                     bvh = build(t)
-                    return acc + bvh.node_min[0, 0] + bvh.left[0].astype(jnp.float32)
+                    return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
                 return lax.fori_loop(0, k, body, 0.0)
 
             return run
@@ -264,7 +264,7 @@ def main() -> None:
             def run():
                 def body(i, acc):
                     b = bvh0._replace(
-                        node_min=bvh0.node_min + i.astype(jnp.float32) * 1e-7
+                        packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
                     )
                     wide = collapse_ops.collapse_bvh2_to_bvh4(b)
                     return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
@@ -336,7 +336,7 @@ def main() -> None:
                 def body(i, acc):
                     t = tris_b + (i.astype(jnp.float32) * 1e-7)
                     b = batched.build_batched(t)
-                    return acc + b.node_min[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
+                    return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
 
                 return lax.fori_loop(0, k, body, 0.0)
 

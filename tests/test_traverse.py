@@ -131,12 +131,12 @@ def _caterpillar_bvh(n_leaves=64, hot_prim=60):
     for i in range(n):
         dx = 0.0 if i == hot_prim else 6.0  # off-ray for all but hot_prim
         tris[i] = [[-1 + dx, -1, 1.0], [2 + dx, -1, 1.0], [dx, 2, 1.0]]
-    bvh = Bvh2(
-        node_min=jnp.asarray(node_min),
-        node_max=jnp.asarray(node_max),
-        left=jnp.asarray(left),
-        right=jnp.asarray(right),
-        root=jnp.int32(0),
+    bvh = Bvh2.from_rows(
+        jnp.asarray(node_min),
+        jnp.asarray(node_max),
+        jnp.asarray(left),
+        jnp.asarray(right),
+        jnp.int32(0),
     )
     return bvh, jnp.asarray(tris)
 

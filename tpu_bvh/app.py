@@ -136,7 +136,7 @@ def run(cfg: EngineConfig) -> dict:
             left = left.at[nl - 1 :].set(leaf_prim)
             node_min = jnp.concatenate([imin, leaf_min], axis=0)
             node_max = jnp.concatenate([imax, leaf_max], axis=0)
-            return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
+            return Bvh2.from_rows(node_min, node_max, left, right, root)
 
         bvh = timer.measure(
             TimerCodes.BVH_BUILD, jax.jit(_topology), sorted_codes, refs, sorted_pos

@@ -165,13 +165,8 @@ def _build_batched_small(tris_b) -> Bvh2:
     root = jnp.argmax(is_root, axis=1).astype(I)
 
     node_packed = jnp.concatenate([int_packed, leaf_packed], axis=2)
-    node_min = node_packed[:, 0:3].transpose(0, 2, 1)
-    node_max = -node_packed[:, 3:6].transpose(0, 2, 1)
     left = jnp.concatenate([left_internal, leaf_prim], axis=1)
     right = jnp.concatenate(
         [right_internal, jnp.full((B, M), -1, I)], axis=1
     )
-    return Bvh2(
-        node_min=node_min, node_max=node_max, left=left, right=right,
-        root=root,
-    )
+    return Bvh2(packed_t=node_packed, left=left, right=right, root=root)

@@ -197,10 +197,10 @@ def to_bvh2(bvh: SahBvh):
             right[j] = new_idx[bvh.first_child[i] + 1]
         else:
             left[j] = bvh.first_child[i]  # prim index
-    return Bvh2(
-        node_min=jnp.asarray(nmn),
-        node_max=jnp.asarray(nmx),
-        left=jnp.asarray(left.astype(np.int32)),
-        right=jnp.asarray(right.astype(np.int32)),
-        root=jnp.asarray(new_idx[0].astype(np.int32)),
+    return Bvh2.from_rows(
+        jnp.asarray(nmn),
+        jnp.asarray(nmx),
+        jnp.asarray(left.astype(np.int32)),
+        jnp.asarray(right.astype(np.int32)),
+        jnp.asarray(new_idx[0].astype(np.int32)),
     )

@@ -103,18 +103,16 @@ def _finalize(leaf_min, leaf_max, leaf_prim, left, right, int_min, int_max, root
     node_min = jnp.concatenate([int_min, leaf_min], axis=0)
     node_max = jnp.concatenate([int_max, leaf_max], axis=0)
     left = left.at[n - 1 :].set(leaf_prim)
-    return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
+    return Bvh2.from_rows(node_min, node_max, left, right, root)
 
 
 def _finalize_packed(leaf_packed_t, leaf_prim, left, right, int_packed_t, root):
-    """Packed finalize: ONE lane-major concat then two row-major transposes
-    (the pipeline's only relayout to the public [M, 3] SoA)."""
+    """Packed finalize: ONE lane-major concat — Bvh2 stores the packed
+    layout natively, so no relayout happens at all."""
     n = leaf_prim.shape[0]
     node_packed = jnp.concatenate([int_packed_t, leaf_packed_t], axis=1)
-    node_min = node_packed[0:3].T
-    node_max = -node_packed[3:6].T
     left = left.at[n - 1 :].set(leaf_prim)
-    return Bvh2(node_min=node_min, node_max=node_max, left=left, right=right, root=root)
+    return Bvh2(packed_t=node_packed, left=left, right=right, root=root)
 
 
 def _sorted_leaves_from_tris(tris, use_extended: bool):

@@ -38,13 +38,10 @@ def _build(
         shift0=shift0, shift_step=shift_step,
     )
     node_packed = jnp.concatenate([int_packed_t, leaf_packed_t], axis=1)
-    node_min = node_packed[0:3].T
-    node_max = -node_packed[3:6].T
     left_full = jnp.concatenate([left, leaf_prim])
     right_full = jnp.concatenate([right, jnp.full((n,), -1, I32)])
     return Bvh2(
-        node_min=node_min,
-        node_max=node_max,
+        packed_t=node_packed,
         left=left_full,
         right=right_full,
         root=jnp.zeros((), I32),

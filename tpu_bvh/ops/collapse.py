@@ -60,20 +60,24 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
     # silently shift the last slab — pad the queue/output arrays instead
     cap_pad = cap + slab
 
-    areas = A.area(bvh.node_min, bvh.node_max)
+    pk = bvh.packed_t  # f32[6, M] lane-major (min xyz, -max xyz)
+    ext = jnp.maximum(-pk[3:6] - pk[0:3], 0.0)
+    areas = 2.0 * (ext[0] * ext[1] + ext[0] * ext[2] + ext[1] * ext[2])
     # packed per-node i32 row: [left, right, areaBits, minBits3, maxBits3,
-    # pad3] -> 12 (areas are >= 0, so their bit patterns order like floats)
+    # pad3] -> 12 (areas are >= 0, so their bit patterns order like floats).
+    # Assembled lane-major then transposed once (a direct [M, 12] concat
+    # pays the 128-lane minor-dim pad ~10x over).
     prow = jnp.concatenate(
         [
-            bvh.left.astype(I32)[:, None],
-            bvh.right.astype(I32)[:, None],
-            _f_bits(areas)[:, None],
-            _f_bits(bvh.node_min),
-            _f_bits(bvh.node_max),
-            jnp.zeros((mm, 3), I32),
+            bvh.left.astype(I32)[None, :],
+            bvh.right.astype(I32)[None, :],
+            _f_bits(areas)[None, :],
+            _f_bits(pk[0:3]),
+            _f_bits(-pk[3:6]),
+            jnp.zeros((3, mm), I32),
         ],
-        axis=1,
-    )
+        axis=0,
+    ).T
 
     def fetch(ids):
         return prow[jnp.clip(ids, 0, mm - 1)]

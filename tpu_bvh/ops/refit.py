@@ -188,7 +188,11 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
         ctabs.append(ccur)
     table_rows = jnp.concatenate(ctabs, axis=1).T  # rows: [T4 | coarse lvls]
 
-    cap = min(m, max(64, m // 12))
+    # long-node budget: #nodes with range length > L is ~2n/L in Morton
+    # order (measured sponza 262K: 15.8K at R=16, 5.1K at R=48), so size
+    # the static gather width to the radius with ~2x headroom; the
+    # full-gather cond below still catches degenerate overflows
+    cap = min(m, max(64, (4 * m) // (3 * radius)))
     n_long = jnp.sum((~short).astype(I32))
 
     def query(cf, cl):

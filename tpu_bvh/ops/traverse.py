@@ -236,18 +236,24 @@ def pack_bvh2(bvh: Bvh2, tris):
     def bits(x):
         return lax.bitcast_convert_type(x, I32)
 
+    # child AABB rows from the lane-major store: gather columns of [6, M]
+    # (row-major node_min views would pay the minor-dim-3 relayout first)
+    pk = bits(bvh.packed_t)  # i32[6, M] (min xyz, -max xyz bits)
+    neg = jnp.int32(1) << 31
+    col_l = pk[:, l]  # [6, ni]
+    col_r = pk[:, r]
     internal = jnp.concatenate(
         [
-            bits(bvh.node_min[l]),
-            bits(bvh.node_max[l]),
-            bits(bvh.node_min[r]),
-            bits(bvh.node_max[r]),
-            bvh.left[:ni].astype(I32)[:, None],
-            bvh.right[:ni].astype(I32)[:, None],
-            jnp.zeros((ni, 2), I32),
+            col_l[0:3],
+            col_l[3:6] ^ neg,  # flip sign bit: bits(-x) == bits(x) ^ 2^31
+            col_r[0:3],
+            col_r[3:6] ^ neg,
+            bvh.left[:ni].astype(I32)[None, :],
+            bvh.right[:ni].astype(I32)[None, :],
+            jnp.zeros((2, ni), I32),
         ],
-        axis=1,
-    )
+        axis=0,
+    ).T
     prim = jnp.clip(bvh.left[ni:], 0, tris.shape[0] - 1)
     tv = bits(tris[prim].reshape(-1, 9))
     leaf = jnp.concatenate(

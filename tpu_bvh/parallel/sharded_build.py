@@ -474,8 +474,7 @@ def to_bvh2(sb: ShardedBvh2, n: int) -> Bvh2:
     m = n - 1
     int_packed = jnp.asarray(sb.int_packed)[:m]
     leaf_packed = jnp.asarray(sb.leaf_packed)
-    node_min = jnp.concatenate([int_packed[:, :3], leaf_packed[:, :3]])
-    node_max = -jnp.concatenate([int_packed[:, 3:], leaf_packed[:, 3:]])
+    packed_t = jnp.concatenate([int_packed, leaf_packed], axis=0).T
     left = jnp.concatenate(
         [jnp.asarray(sb.left)[:m], jnp.asarray(sb.leaf_prim)]
     )
@@ -483,6 +482,6 @@ def to_bvh2(sb: ShardedBvh2, n: int) -> Bvh2:
         [jnp.asarray(sb.right)[:m], jnp.full((n,), -1, I32)]
     )
     return Bvh2(
-        node_min=node_min, node_max=node_max, left=left, right=right,
+        packed_t=packed_t, left=left, right=right,
         root=jnp.asarray(sb.root),
     )
