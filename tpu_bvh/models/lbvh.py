@@ -138,7 +138,7 @@ def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
     codes, leaf_packed_t, leaf_prim = _sorted_leaves_from_tris(
         tris, use_extended
     )
-    left, right, _parent, int_packed_t = radix_tree.karras_build_packed(
+    left, right, int_packed_t = radix_tree.karras_build_packed(
         codes, leaf_packed_t
     )
     return _finalize_packed(
@@ -150,7 +150,7 @@ def build_two_pass(tris, use_extended: bool = True) -> Bvh2:
 @partial(jax.jit, static_argnames=("use_extended",))
 def build_two_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, leaf_packed_t, leaf_prim = _sorted_leaves_packed(refs, use_extended)
-    left, right, _parent, int_packed_t = radix_tree.karras_build_packed(
+    left, right, int_packed_t = radix_tree.karras_build_packed(
         codes, leaf_packed_t
     )
     return _finalize_packed(

@@ -427,63 +427,63 @@ def apetrei_build(codes, leaf_min, leaf_max):
 
 
 def karras_build_packed(codes, leaf_packed_t):
-    """Fused two-pass build: threshold-scan topology + anchored refit, with
-    node AABBs permuted into the Karras layout by riding the relabeling
-    sort as payload (no extra gathers). Lane-major packed-AABB form.
+    """Fused two-pass build: scan topology + anchored refit + ONE
+    single-key relabel sort. Lane-major packed-AABB form.
+
+    The Karras relabel of a node's CHILDREN is local: boundary node i
+    splits its range at boundary i, and Karras indexes children by the
+    split position (`TwoPassLbvhKernel.h:196-216` stores children at
+    gamma / gamma+1), so
+
+      left  child = lc >= 0 ? karras node i     : leaf i    (m + i)
+      right child = rc >= 0 ? karras node i + 1 : leaf i+1  (m + i + 1)
+
+    No parent->child inversion sort and no payload-carrying scan pass are
+    needed at all. Everything is permuted into Karras order by one
+    single-key unstable sort on pi (pi[j] = right-child ? first : last,
+    root -> 0; unique), with children + AABB rows as payload.
 
     leaf_packed_t: f32[6, n] (rows = min xyz, -max xyz), sorted order.
-    Returns (left, right, parent, int_packed_t f32[6, m]); root is node 0.
+    Returns (left, right, int_packed_t f32[6, m]); root is node 0.
     """
     from . import refit as _refit
 
     n = codes.shape[0]
     m = n - 1
-    dlt, first, last, psv_val, nsv_val, psv = _threshold_core(codes)
-    nsv = last
+    dlt, first, last, psv_val, nsv_val, psv, lc, rc = _topology_scans(codes)
+    idx = jnp.arange(m, dtype=I32)
     is_root = (first == 0) & (last == n - 1)
-    kp_internal, kp_leaf, internal_is_right, leaf_is_right, pi = (
-        _karras_parent_kp(
-            codes, dlt, first, last, psv, nsv, psv_val, nsv_val, is_root
-        )
-    )
+    internal_is_right = psv_val > nsv_val
+    pi = jnp.where(is_root, 0, jnp.where(internal_is_right, first, last))
+
+    left_k = jnp.where(lc >= 0, idx, m + idx)
+    right_k = jnp.where(rc >= 0, idx + 1, m + idx + 1)
 
     int_b = _refit.refit_anchored_packed(leaf_packed_t, first, last)
 
-    jdx = jnp.arange(n, dtype=I32)
-    key_internal = jnp.where(
-        is_root, I32(2 * m), internal_is_right.astype(I32) * m + kp_internal
-    )
-    key_leaf = leaf_is_right.astype(I32) * m + kp_leaf
-    all_keys = jnp.concatenate([key_internal, key_leaf]).astype(jnp.uint32)
-    all_vals = jnp.concatenate([pi, m + jdx])
-    _, sorted_vals = lax.sort_key_val(all_keys, all_vals)
-
-    parent_internal_k = jnp.where(is_root, I32(-1), kp_internal)
-    (_, parent_k, a0, a1, a2, b0, b1, b2) = lax.sort(
+    (_, l_s, r_s, a0, a1, a2, b0, b1, b2) = lax.sort(
         (
             pi.astype(jnp.uint32),
-            parent_internal_k,
+            left_k, right_k,
             int_b[0], int_b[1], int_b[2], int_b[3], int_b[4], int_b[5],
         ),
         num_keys=1,
+        is_stable=False,
     )
     int_packed_t = jnp.stack([a0, a1, a2, b0, b1, b2], axis=0)
 
-    left = jnp.concatenate([sorted_vals[:m], jnp.full((n,), -1, I32)])
-    right = jnp.concatenate([sorted_vals[m : 2 * m], jnp.full((n,), -1, I32)])
-    parent = jnp.concatenate([parent_k, kp_leaf])
-    return left, right, parent, int_packed_t
+    left = jnp.concatenate([l_s, jnp.full((n,), -1, I32)])
+    right = jnp.concatenate([r_s, jnp.full((n,), -1, I32)])
+    return left, right, int_packed_t
 
 
 def karras_build(codes, leaf_min, leaf_max):
     """Row-major wrapper around `karras_build_packed`.
-    Returns (left, right, parent, int_min, int_max); root is node 0."""
+    Returns (left, right, int_min, int_max); root is node 0."""
     leaf_packed_t = jnp.concatenate([leaf_min, -leaf_max], axis=1).T
-    left, right, parent, int_packed_t = karras_build_packed(
-        codes, leaf_packed_t
-    )
+    left, right, int_packed_t = karras_build_packed(codes, leaf_packed_t)
     out = int_packed_t.T
-    return left, right, parent, out[:, :3], -out[:, 3:]
+    return left, right, out[:, :3], -out[:, 3:]
 
 
 def apetrei_topology(codes):
