@@ -39,7 +39,7 @@ def test_round_matches_xla(monkeypatch, size, nc, shift):
     # reference: the XLA fallback round (runs because platform is cpu)
     nc_a = jnp.asarray(nc, I32)
     sb = jnp.asarray(shift, I32)
-    (nc1, sb1, mat1, nodes1) = ploc._round((nc_a, sb, mat, nodes), 8)
+    (nc1, sb1, mat1, nodes1) = ploc._round((nc_a, sb, mat, nodes), nc, 8)
 
     # pallas: same NN result (xla fallback NN is bit-identical to the
     # kernel per test_ploc_nn) -> fused emit/compact
@@ -65,7 +65,7 @@ def test_round_matches_xla(monkeypatch, size, nc, shift):
     )
     n_merged = jnp.sum(merge.astype(I32))
     mat2, nodes2 = ploc_emit_compact(
-        mat, nn, nodes, nc_a, n_merged, interpret=True
+        mat, nn, nodes, nc_a, jnp.asarray(0, I32), interpret=True
     )
 
     nm = int(n_merged)
@@ -77,13 +77,13 @@ def test_round_matches_xla(monkeypatch, size, nc, shift):
     a2 = np.asarray(mat2)[:, :n_keep]
     np.testing.assert_array_equal(a1, a2)
 
-    # nodes: slab region written identically, everything else preserved
+    # nodes: the bottom-up slab [0, nm) written identically, everything
+    # else preserved
     n1 = np.asarray(nodes1)
     n2 = np.asarray(nodes2)
-    slab = nc - 1 - nm
-    np.testing.assert_array_equal(n1[:, slab:nc - 1], n2[:, slab:nc - 1])
+    np.testing.assert_array_equal(n1[:, :nm], n2[:, :nm])
     mask = np.ones(w, bool)
-    mask[slab:nc - 1] = False
+    mask[:nm] = False
     np.testing.assert_array_equal(n2[:, mask], pattern[:, mask])
 
 
@@ -121,14 +121,14 @@ def test_finisher_matches_iterated_rounds(monkeypatch, size, nc, shift):
              jnp.asarray(pattern))
     guard = 0
     while int(state[0]) > 1:
-        state = ploc._round(state, 8)
+        state = ploc._round(state, nc, 8)
         guard += 1
         assert guard < 200
     nodes_ref = np.asarray(state[3])
 
     nodes2 = pr.ploc_finish(
         mat, jnp.asarray(pattern), jnp.asarray(nc, I32),
-        jnp.asarray(shift, I32), 8, interpret=True,
+        jnp.asarray(shift, I32), jnp.asarray(0, I32), 8, interpret=True,
     )
     n2 = np.asarray(nodes2)
     # every id in [0, nc-1) written identically; everything else preserved
@@ -151,10 +151,10 @@ def test_fused_round_matches_xla(monkeypatch, size, nc, shift):
 
     nc_a = jnp.asarray(nc, I32)
     sb = jnp.asarray(shift, I32)
-    (nc1, sb1, mat1, nodes1) = ploc._round((nc_a, sb, mat, nodes), 8)
+    (nc1, sb1, mat1, nodes1) = ploc._round((nc_a, sb, mat, nodes), nc, 8)
 
     mat2, nodes2, nm2 = pr.ploc_round_fused(
-        mat, nodes, nc_a, sb, 8, interpret=True
+        mat, nodes, nc_a, sb, jnp.asarray(0, I32), 8, interpret=True
     )
     nm = nc - int(nc1)
     assert int(nm2) == nm
@@ -166,11 +166,11 @@ def test_fused_round_matches_xla(monkeypatch, size, nc, shift):
     a2 = np.asarray(mat2)[:, :n_keep]
     np.testing.assert_array_equal(a1, a2)
 
-    # nodes: slab region written identically, everything else preserved
+    # nodes: the bottom-up slab [0, nm) written identically, everything
+    # else preserved
     n1 = np.asarray(nodes1)
     n2 = np.asarray(nodes2)
-    slab = nc - 1 - nm
-    np.testing.assert_array_equal(n1[:, slab:nc - 1], n2[:, slab:nc - 1])
+    np.testing.assert_array_equal(n1[:, :nm], n2[:, :nm])
     mask = np.ones(w, bool)
-    mask[slab:nc - 1] = False
+    mask[:nm] = False
     np.testing.assert_array_equal(n2[:, mask], pattern[:, mask])

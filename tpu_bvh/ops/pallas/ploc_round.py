@@ -90,8 +90,7 @@ def _round_kernel2(sc_ref, state_ref, nn_ref, nodes_ref, surv_ref,
                    swin_ref, esem, ssem, *, blk: int):
     i = pl.program_id(0)
     nc = sc_ref[0]
-    n_merged = sc_ref[1]
-    slab_start = nc - 1 - n_merged
+    slab_start = sc_ref[2]  # bottom-up base: ids already allocated
 
     @pl.when(i == 0)
     def _():
@@ -169,13 +168,14 @@ def _round_kernel2(sc_ref, state_ref, nn_ref, nodes_ref, surv_ref,
     carry_ref[1] = carry_k + cnt_k
 
 
-def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
+def ploc_emit_compact(mat, nn, nodes, n_clusters, base,
                       interpret: bool = False):
     """Complete one PLOC round after the NN stage, without sorts.
 
     mat: i32[8, S] state (layout above); nn: i32[8, S] NN output;
-    nodes: i32[8, W] node buffer with W >= S-1 + blk + 256 columns of
-    headroom past the highest live id. Returns (new_mat i32[8, S],
+    nodes: i32[8, W] node buffer with W >= base + S + 256 columns of
+    headroom. `base` = bottom-up ids already allocated (this round's
+    merges take [base, base+n_merged)). Returns (new_mat i32[8, S],
     nodes i32[8, W]) — nodes is donated/aliased.
     """
     s = mat.shape[1]
@@ -191,8 +191,8 @@ def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
         f"nodes buffer needs >= {s + blk + _WPAD} cols, got {nodes.shape[1]}"
     )
     sc = jnp.stack(
-        [jnp.asarray(n_clusters, jnp.int32), jnp.asarray(n_merged, jnp.int32),
-         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)]
+        [jnp.asarray(n_clusters, jnp.int32), jnp.zeros((), jnp.int32),
+         jnp.asarray(base, jnp.int32), jnp.zeros((), jnp.int32)]
     )
     # survivor buffer: same padded width plus window overhang
     surv0 = jnp.zeros((8, sp + blk + _WPAD), jnp.int32)
@@ -229,145 +229,119 @@ def ploc_emit_compact(mat, nn, nodes, n_clusters, n_merged,
 
 # ---------------------------------------------------------------------------
 # Fully fused round: NN stencil + emit/survivor compaction in ONE kernel.
-# A two-pass sequential grid replaces the separate-dispatch barrier: pass 0
-# runs the halo NN stencil per block (`ploc_nn._nn_body`), parks the NN
-# matrix in an HBM scratch output, and accumulates the global merged count
-# in SMEM (the reference's cross-block serialized offset,
-# `/root/reference/src/Ploc++Kernel.h:341-347`, is exactly this barrier —
-# there a spin on an atomic, here the sequential TPU grid). Pass 1 then
-# knows the round's slab base and streams emit + survivors with running
-# carries. Saves one dispatch plus all XLA glue (the n_merged reduction
-# and scalar updates) per merge round.
+# A SINGLE sequential-grid pass runs the whole round: the halo NN stencil
+# per block (`ploc_nn._nn_body`), then emit + survivor compaction with
+# running SMEM carries. Node ids are allocated BOTTOM-UP (`base + seen`),
+# so each block's slab base is just the sequential carry — no global
+# merged-count barrier is needed at all (the reference's top-down
+# `nClusters - 2 - prefix` allocation, `Ploc++Kernel.h:311`, forces its
+# cross-block serialized offset spin at `:341-347`; a two-pass grid
+# emulated that here and paid an extra NN round-trip through HBM plus a
+# second full grid sweep). `ploc.py` flips ids (n_int-1-id) and reverses
+# the node buffer once at the end to restore root-at-0.
 # ---------------------------------------------------------------------------
 
 
 def _fused_kernel(sc_ref, left_ref, mid_ref, right_ref, nodes_ref, surv_ref,
-                  nodes_out_ref, surv_out_ref, nn_hbm_ref, nm_ref,
-                  carry_ref, nnwin_ref, ewin_ref, swin_ref,
-                  nsem, esem, ssem, *, radius: int, blk: int):
+                  nodes_out_ref, surv_out_ref, nm_ref,
+                  carry_ref, ewin_ref, swin_ref,
+                  esem, ssem, *, radius: int, blk: int):
     from .ploc_nn import _HALO, _nn_body
 
-    p = pl.program_id(0)
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
     nc = sc_ref[0]
+    base = sc_ref[2]  # bottom-up ids already allocated before this round
 
-    @pl.when((p == 0) & (i == 0))
+    @pl.when(i == 0)
     def _():
-        carry_ref[0] = 0  # pass 0: total merged so far
-        carry_ref[1] = 0  # pass 1: emit carry
-        carry_ref[2] = 0  # pass 1: survivor carry
+        carry_ref[0] = 0  # emit (merged-pair) carry
+        carry_ref[1] = 0  # survivor carry
 
-    @pl.when(p == 0)
-    def _pass0():
-        H = _HALO
-        win = jnp.concatenate(
-            [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+    H = _HALO
+    win = jnp.concatenate(
+        [left_ref[:, blk - H:], mid_ref[:], right_ref[:, :H]], axis=1
+    )
+    out = _nn_body(win, nc, sc_ref[1], i * blk - H, radius=radius)
+    nn = out[:, H:H + blk]
+    state = mid_ref[:]
+
+    lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    lanes_l = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    valid = lanes_g < nc
+    flags = nn[7:8, :]
+    merge = valid & (flags == 1)
+    dropped = valid & (flags == 2)
+    keep = valid & ~dropped
+
+    carry_m = carry_ref[0]
+    carry_k = carry_ref[1]
+
+    f2 = jnp.concatenate(
+        [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
+    )
+    excl = _cumsum_excl(f2, blk)
+    rank_m = excl[0:1, :]
+    rank_k = excl[1:2, :]
+    cnt_m = jnp.sum(f2[0, :])
+    cnt_k = jnp.sum(f2[1, :])
+
+    new_id = base + carry_m + rank_m
+
+    emit_rows = jnp.concatenate(
+        [state[7:8, :], nn[6:7, :], nn[0:6, :]], axis=0
+    )
+    disp_m = jnp.where(merge, lanes_l - rank_m, 0)
+    emit_c = _compact(emit_rows, disp_m, blk)
+
+    surv_cols = jnp.where(merge, nn[0:6, :], state[0:6, :])
+    surv_id = jnp.where(merge, new_id, state[7:8, :])
+    surv_rows = jnp.concatenate(
+        [surv_cols, state[6:7, :], surv_id], axis=0
+    )
+    disp_k = jnp.where(keep, lanes_l - rank_k, 0)
+    surv_c = _compact(surv_rows, disp_k, blk)
+
+    def stitch(stream_c, cnt, wbase, hbm_ref, win_ref, dma_sem):
+        q = lax.rem(wbase, 128)
+        w0 = pl.multiple_of(wbase - q, 128)
+        ld2 = pltpu.make_async_copy(
+            hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], win_ref, dma_sem
         )
-        out = _nn_body(win, nc, sc_ref[1], i * blk - H, radius=radius)
-        out = out[:, H:H + blk]
-        nnwin_ref[:, :blk] = out
-        lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-        cnt = jnp.sum(
-            ((out[7:8, :] == 1) & (lanes_g < nc)).astype(jnp.int32)
+        ld2.start()
+        ext = jnp.concatenate(
+            [stream_c, jnp.zeros((8, _WPAD), jnp.int32)], axis=1
         )
-        carry_ref[0] = carry_ref[0] + cnt
-        st = pltpu.make_async_copy(
-            nnwin_ref.at[:, pl.ds(0, blk)],
-            nn_hbm_ref.at[:, pl.ds(i * blk, blk)], nsem,
+        ext = pltpu.roll(ext, q, axis=1)
+        wl = lax.broadcasted_iota(jnp.int32, (1, blk + _WPAD), 1)
+        ld2.wait()
+        merged_win = jnp.where((wl >= q) & (wl < q + cnt), ext, win_ref[:])
+        win_ref[:] = merged_win
+        st2 = pltpu.make_async_copy(
+            win_ref, hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], dma_sem
         )
-        st.start()
-        st.wait()
+        st2.start()
+        st2.wait()
 
-    @pl.when(p == 1)
-    def _pass1():
-        n_merged = carry_ref[0]
-        slab_start = nc - 1 - n_merged
+    stitch(emit_c, cnt_m, base + carry_m, nodes_out_ref, ewin_ref, esem)
+    stitch(surv_c, cnt_k, carry_k, surv_out_ref, swin_ref, ssem)
 
-        @pl.when(i == 0)
-        def _():
-            nm_ref[0] = n_merged
+    carry_ref[0] = carry_m + cnt_m
+    carry_ref[1] = carry_k + cnt_k
 
-        ld = pltpu.make_async_copy(
-            nn_hbm_ref.at[:, pl.ds(i * blk, blk)],
-            nnwin_ref.at[:, pl.ds(0, blk)], nsem,
-        )
-        ld.start()
-        state = mid_ref[:]
-        ld.wait()
-        nn = nnwin_ref[:, :blk]
-
-        lanes_g = i * blk + lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-        lanes_l = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-        valid = lanes_g < nc
-        flags = nn[7:8, :]
-        merge = valid & (flags == 1)
-        dropped = valid & (flags == 2)
-        keep = valid & ~dropped
-
-        carry_m = carry_ref[1]
-        carry_k = carry_ref[2]
-
-        f2 = jnp.concatenate(
-            [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
-        )
-        excl = _cumsum_excl(f2, blk)
-        rank_m = excl[0:1, :]
-        rank_k = excl[1:2, :]
-        cnt_m = jnp.sum(f2[0, :])
-        cnt_k = jnp.sum(f2[1, :])
-
-        new_id = slab_start + carry_m + rank_m
-
-        emit_rows = jnp.concatenate(
-            [state[7:8, :], nn[6:7, :], nn[0:6, :]], axis=0
-        )
-        disp_m = jnp.where(merge, lanes_l - rank_m, 0)
-        emit_c = _compact(emit_rows, disp_m, blk)
-
-        surv_cols = jnp.where(merge, nn[0:6, :], state[0:6, :])
-        surv_id = jnp.where(merge, new_id, state[7:8, :])
-        surv_rows = jnp.concatenate(
-            [surv_cols, state[6:7, :], surv_id], axis=0
-        )
-        disp_k = jnp.where(keep, lanes_l - rank_k, 0)
-        surv_c = _compact(surv_rows, disp_k, blk)
-
-        def stitch(stream_c, cnt, base, hbm_ref, win_ref, dma_sem):
-            q = lax.rem(base, 128)
-            w0 = pl.multiple_of(base - q, 128)
-            ld2 = pltpu.make_async_copy(
-                hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], win_ref, dma_sem
-            )
-            ld2.start()
-            ext = jnp.concatenate(
-                [stream_c, jnp.zeros((8, _WPAD), jnp.int32)], axis=1
-            )
-            ext = pltpu.roll(ext, q, axis=1)
-            wl = lax.broadcasted_iota(jnp.int32, (1, blk + _WPAD), 1)
-            ld2.wait()
-            merged_win = jnp.where((wl >= q) & (wl < q + cnt), ext, win_ref[:])
-            win_ref[:] = merged_win
-            st2 = pltpu.make_async_copy(
-                win_ref, hbm_ref.at[:, pl.ds(w0, blk + _WPAD)], dma_sem
-            )
-            st2.start()
-            st2.wait()
-
-        stitch(emit_c, cnt_m, slab_start + carry_m, nodes_out_ref, ewin_ref,
-               esem)
-        stitch(surv_c, cnt_k, carry_k, surv_out_ref, swin_ref, ssem)
-
-        carry_ref[1] = carry_m + cnt_m
-        carry_ref[2] = carry_k + cnt_k
+    @pl.when(i == nb - 1)
+    def _():
+        nm_ref[0] = carry_m + cnt_m
 
 
-def ploc_round_fused(mat, nodes, n_clusters, shift_bits, radius: int,
+def ploc_round_fused(mat, nodes, n_clusters, shift_bits, base, radius: int,
                      interpret: bool = False):
     """One full PLOC merge round (NN + emit + compaction) in one kernel.
 
     mat: i32[8, S] cluster state (module-docstring layout); nodes:
-    i32[8, W] node buffer (donated/aliased), W >= S + blk + 256.
+    i32[8, W] node buffer (donated/aliased) with W >= base_max + S + 256
+    columns of headroom. `base` (i32 scalar) = bottom-up ids already
+    allocated; this round's merged pairs take ids [base, base+n_merged).
     Returns (new_mat i32[8, S], nodes i32[8, W], n_merged i32[]).
     """
     from .ploc_nn import _BIGBITS, _HALO
@@ -383,44 +357,38 @@ def ploc_round_fused(mat, nodes, n_clusters, shift_bits, radius: int,
         )
     sp = mat.shape[1]
     grid = sp // blk
-    assert nodes.shape[1] >= s + blk + _WPAD, (
-        f"nodes buffer needs >= {s + blk + _WPAD} cols, got {nodes.shape[1]}"
-    )
     sc = jnp.stack(
         [jnp.asarray(n_clusters, jnp.int32),
-         jnp.asarray(shift_bits, jnp.int32)]
+         jnp.asarray(shift_bits, jnp.int32),
+         jnp.asarray(base, jnp.int32)]
     )
     surv0 = jnp.zeros((8, sp + blk + _WPAD), jnp.int32)
     clamp = lambda j: jnp.clip(j, 0, grid - 1)
-    nodes_out, surv, _nn, nm = pl.pallas_call(
+    nodes_out, surv, nm = pl.pallas_call(
         functools.partial(_fused_kernel, radius=radius, blk=blk),
-        grid=(2, grid),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, blk), lambda p, i: (0, clamp(i - 1))),
-            pl.BlockSpec((8, blk), lambda p, i: (0, i)),
-            pl.BlockSpec((8, blk), lambda p, i: (0, clamp(i + 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
             pl.BlockSpec(memory_space=pl.ANY),  # nodes (aliased out 0)
             pl.BlockSpec(memory_space=pl.ANY),  # surv buffer (aliased out 1)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),  # NN scratch (discarded)
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
             jax.ShapeDtypeStruct(surv0.shape, jnp.int32),
-            jax.ShapeDtypeStruct((8, sp), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((4,), jnp.int32),
-            pltpu.VMEM((8, blk), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((8, blk + _WPAD), jnp.int32),
             pltpu.VMEM((8, blk + _WPAD), jnp.int32),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -428,6 +396,65 @@ def ploc_round_fused(mat, nodes, n_clusters, shift_bits, radius: int,
         interpret=interpret,
     )(sc, mat, mat, mat, nodes, surv0)
     return surv[:, :s], nodes_out, nm[0]
+
+
+def ploc_round_pp(matA, matB, nodes, n_clusters, shift_bits, base,
+                  radius: int, sp: int, blk: int, interpret: bool = False):
+    """Ping-pong variant of `ploc_round_fused` with ZERO per-round XLA
+    glue: matA/matB are preallocated i32[8, sp + 2*blk] buffers carried
+    through the driver's while_loop (no pad concat, no fresh survivor
+    zeros, no output slice — each round reads A and compacts survivors
+    into B in place, then the driver swaps them). `sp` (blk multiple,
+    >= live cluster count) bounds the grid; lanes past the live count are
+    masked by nc, so stale ping-pong content is harmless.
+    Returns (matB' aliased, nodes' aliased, n_merged)."""
+    from .ploc_nn import _HALO
+
+    if radius * 2 > _HALO:
+        raise ValueError(f"radius {radius} needs halo >= {radius * 2}")
+    assert sp % blk == 0 and matA.shape[1] == sp + 2 * blk
+    assert matB.shape == matA.shape
+    assert blk + _WPAD <= 2 * blk
+    grid = sp // blk
+    sc = jnp.stack(
+        [jnp.asarray(n_clusters, jnp.int32),
+         jnp.asarray(shift_bits, jnp.int32),
+         jnp.asarray(base, jnp.int32)]
+    )
+    clamp = lambda j: jnp.clip(j, 0, grid - 1)
+    nodes_out, surv, nm = pl.pallas_call(
+        functools.partial(_fused_kernel, radius=radius, blk=blk),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, i)),
+            pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
+            pl.BlockSpec(memory_space=pl.ANY),  # nodes (aliased out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # matB (aliased out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
+            jax.ShapeDtypeStruct(matB.shape, jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.VMEM((8, blk + _WPAD), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(sc, matA, matA, matA, nodes, matB)
+    return surv, nodes_out, nm[0]
+
 
 
 # ---------------------------------------------------------------------------
@@ -438,18 +465,23 @@ def ploc_round_fused(mat, nodes, n_clusters, shift_bits, radius: int,
 # XLA-glue round trips for the tail of the agglomeration.
 # ---------------------------------------------------------------------------
 
-_FIN_WIDTH = 8192
+_FIN_WIDTH = 16384
 
 
 def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
                    radius: int, width: int):
     W = width
     R = radius
-    lanes = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
     BIGF = 3.0e38
+    lanes_w = lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
-    def one_round(carry):
+    def make_round(Ws):
+      # one merge round at live width Ws (the in-kernel stage ladder runs
+      # geometrically shrinking Ws so tail rounds don't pay full width)
+      lanes = lax.broadcasted_iota(jnp.int32, (1, Ws), 1)
+
+      def one_round(carry):
         nc, shift, mat, local, r = carry
         valid = lanes < nc
         cols = as_f(mat[0:6, :])
@@ -459,12 +491,12 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
         )
         segmat = jnp.concatenate([mat[0:6, :], seg, mat[7:8, :]], axis=0)
 
-        best_area = jnp.full((1, W), BIGF, jnp.float32)
-        best_rel = jnp.zeros((1, W), jnp.int32)
-        partner = jnp.zeros((8, W), jnp.int32)
+        best_area = jnp.full((1, Ws), BIGF, jnp.float32)
+        best_rel = jnp.zeros((1, Ws), jnp.int32)
+        partner = jnp.zeros((8, Ws), jnp.int32)
         areas = []
         for d in range(1, R + 1):
-            w = pltpu.roll(segmat, W - d, axis=1)
+            w = pltpu.roll(segmat, Ws - d, axis=1)
             u = jnp.minimum(cols, as_f(w[0:6, :]))
             ex = -u[3:4, :] - u[0:1, :]
             ey = -u[4:5, :] - u[1:2, :]
@@ -488,10 +520,10 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
             best_rel = jnp.where(better_b, -d, best_rel)
 
         has_nn = best_area < BIGF
-        merge = jnp.zeros((1, W), jnp.bool_)
-        dropped = jnp.zeros((1, W), jnp.bool_)
+        merge = jnp.zeros((1, Ws), jnp.bool_)
+        dropped = jnp.zeros((1, Ws), jnp.bool_)
         for d in range(1, R + 1):
-            br_fwd = pltpu.roll(best_rel, W - d, axis=1)
+            br_fwd = pltpu.roll(best_rel, Ws - d, axis=1)
             br_bwd = pltpu.roll(best_rel, d, axis=1)
             merge = merge | ((best_rel == d) & (br_fwd == -d))
             dropped = dropped | ((best_rel == -d) & (br_bwd == d))
@@ -504,20 +536,26 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
         f2 = jnp.concatenate(
             [merge.astype(jnp.int32), keep.astype(jnp.int32)], axis=0
         )
-        excl = _cumsum_excl(f2, W)
+        excl = _cumsum_excl(f2, Ws)
         rank_m = excl[0:1, :]
         rank_k = excl[1:2, :]
         nm = jnp.sum(f2[0, :])
-        slab = nc - 1 - nm
-        new_id = slab + rank_m
+        # bottom-up: this round's pairs take local slots [seen, seen+nm)
+        # of the full-W window (global ids gbase + local slot)
+        seen = nc0 - nc
+        new_id = gbase + seen + rank_m
 
         emit_rows = jnp.concatenate(
             [mat[7:8, :], partner[7:8, :], ucols], axis=0
         )
         disp_m = jnp.where(merge, lanes - rank_m, 0)
-        emit_c = _compact(emit_rows, disp_m, W)
-        emit_pl = pltpu.roll(emit_c, slab, axis=1)  # merged row r -> lane slab+r
-        sel = (lanes >= slab) & (lanes < slab + nm)
+        emit_c = _compact(emit_rows, disp_m, Ws)
+        if Ws < W:
+            emit_c = jnp.concatenate(
+                [emit_c, jnp.zeros((8, W - Ws), jnp.int32)], axis=1
+            )
+        emit_pl = pltpu.roll(emit_c, seen, axis=1)  # merged row r -> lane seen+r
+        sel = (lanes_w >= seen) & (lanes_w < seen + nm)
         local = jnp.where(sel, emit_pl, local)
 
         surv_cols = jnp.where(merge, ucols, mat[0:6, :])
@@ -526,42 +564,71 @@ def _finish_kernel(sc_ref, mat_ref, nodes_in_ref, nodes_out_ref, *,
             [surv_cols, mat[6:7, :], surv_id], axis=0
         )
         disp_k = jnp.where(keep, lanes - rank_k, 0)
-        mat = _compact(surv_rows, disp_k, W)
+        mat = _compact(surv_rows, disp_k, Ws)
 
         shift = jnp.minimum(shift + 3, 32)
         return (nc - nm, shift, mat, local, r + 1)
 
+      return one_round
+
     nc0 = sc_ref[0]
     shift0 = sc_ref[1]
-    carry = (nc0, shift0, mat_ref[:], nodes_in_ref[:], jnp.int32(0))
+    gbase = sc_ref[2]
     # Round bound as a hang backstop (ADVICE r1): every productive round
     # merges >= 1 pair and the search shift saturates at 32 within 11
     # rounds, so nc0 + 16 rounds always suffice; non-finite leaf AABBs
     # (NaN) would otherwise make every area comparison false and spin the
     # device forever with no host-visible progress.
     limit = nc0 + 16
-    carry = lax.while_loop(
-        lambda c: (c[0] > 1) & (c[4] < limit), one_round, carry
-    )
+
+    # in-kernel stage ladder: W -> W/4 -> ... -> 512; each stage's rounds
+    # run on a live-width slice of the state (per-round cost scales with
+    # the stage width, so the long tail of tiny rounds is nearly free)
+    stages = []
+    ws = W
+    while ws > 512:
+        stages.append(ws)
+        ws //= 4
+    stages.append(ws)
+    carry = (nc0, shift0, mat_ref[:], nodes_in_ref[:], jnp.int32(0))
+    for si, ws in enumerate(stages):
+        target = jnp.int32(stages[si + 1]) if si + 1 < len(stages) else jnp.int32(1)
+        nc_c, shift_c, mat_c, local_c, r_c = carry
+        carry_s = (nc_c, shift_c, mat_c[:, :ws], local_c, r_c)
+        out = lax.while_loop(
+            lambda c, t=target: (c[0] > t) & (c[4] < limit),
+            make_round(ws), carry_s,
+        )
+        nc_c, shift_c, mat_s, local_c, r_c = out
+        if ws < W:
+            mat_s = jnp.concatenate(
+                [mat_s, jnp.zeros((8, W - ws), jnp.int32)], axis=1
+            )
+        carry = (nc_c, shift_c, mat_s, local_c, r_c)
     nodes_out_ref[:] = carry[3]
 
 
-def ploc_finish(mat, nodes, n_clusters, shift_bits, radius: int,
+def ploc_finish(mat, nodes, n_clusters, shift_bits, base, radius: int,
                 interpret: bool = False):
     """Run every remaining PLOC round in one kernel. mat: i32[8, S] with
-    S <= _FIN_WIDTH live clusters at the front; nodes: i32[8, W] buffer
-    (W >= _FIN_WIDTH; ids written land in [0, n_clusters-1)). Returns the
-    updated nodes buffer (donated/aliased)."""
+    S <= _FIN_WIDTH live clusters at the front; nodes: i32[8, W] buffer;
+    `base` (i32 scalar) = bottom-up ids already allocated — the finisher's
+    merges take global ids [base, base + n_clusters - 1), landing in the
+    node-buffer window [base, base + _FIN_WIDTH). Returns the updated
+    nodes buffer."""
     s = mat.shape[1]
     W = _FIN_WIDTH
     assert s <= W, f"finisher width {W} < live state {s}"
     if s < W:
         mat = jnp.concatenate([mat, jnp.zeros((8, W - s), jnp.int32)], axis=1)
     assert nodes.shape[1] >= W
+    base = jnp.asarray(base, jnp.int32)
     sc = jnp.stack(
-        [jnp.asarray(n_clusters, jnp.int32), jnp.asarray(shift_bits, jnp.int32)]
+        [jnp.asarray(n_clusters, jnp.int32),
+         jnp.asarray(shift_bits, jnp.int32), base]
     )
-    out = pl.pallas_call(
+    win = lax.dynamic_slice(nodes, (0, base), (8, W))
+    out_win = pl.pallas_call(
         functools.partial(_finish_kernel, radius=radius, width=W),
         grid=(1,),
         in_specs=[
@@ -570,8 +637,8 @@ def ploc_finish(mat, nodes, n_clusters, shift_bits, radius: int,
             pl.BlockSpec((8, W), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((8, W), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct(nodes.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((8, W), jnp.int32),
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(sc, mat, nodes)
-    return out
+    )(sc, mat, win)
+    return lax.dynamic_update_slice(nodes, out_win, (0, base))

@@ -51,8 +51,8 @@ I32 = jnp.int32
 U32 = jnp.uint32
 INVALID = jnp.int32(-1)
 _BIG = jnp.float32(3.0e38)
-_STAGE_RATIO = 1.4  # ladder step: rounds merge ~20-35%, so a
-# 2x ladder left rounds running at up to 2x the live width
+_STAGE_RATIO = 1.25  # ladder step: rounds merge ~17-50%, so a finer
+# ladder keeps each round's static width near the live cluster count
 _MIN_STAGE = 4096
 
 
@@ -145,18 +145,23 @@ def _nn_round_xla(mat, cols, seg, valid, idx, n_clusters, size, R):
     return merge, dropped, ucols, rnode
 
 
-def _round(state, radius: int, shift_step: int = 3):
+def _round(state, n0: int, radius: int, shift_step: int = 3):
     """One PLOC merge round over packed state (nc, shift_bits, mat, nodes).
+    `n0` (static) = initial leaf count; merged-node ids are allocated
+    BOTTOM-UP (base = n0 - nc) and flipped to the reference's root-at-0
+    numbering once at the end of the build (see
+    `ploc_build_topology_packed`).
 
     mat is lane-major f32[8, S]: rows 0..5 AABB (min3, -max3), row 6 the
     Morton code (u32 bitcast), row 7 the cluster node id (i32 bitcast).
 
-    On TPU the whole round is ONE Pallas kernel
-    (`pallas.ploc_round.ploc_round_fused`): a two-pass sequential grid runs
-    the halo NN stencil, then the sort-free emit + survivor compaction —
-    only the scalar count/shift updates stay in XLA. Elsewhere: the
-    bounded-offset XLA NN fallback plus two stable sorts (emit slab +
-    survivor compaction)."""
+    On TPU the whole round is ONE single-pass Pallas kernel
+    (`pallas.ploc_round.ploc_round_fused`): halo NN stencil + sort-free
+    emit + survivor compaction in one sequential-grid sweep (bottom-up id
+    allocation makes each block's slab base a running carry, so no global
+    merged-count barrier exists) — only the scalar count/shift updates
+    stay in XLA. Elsewhere: the bounded-offset XLA NN fallback plus two
+    stable sorts (emit slab + survivor compaction)."""
     (n_clusters, shift_bits, mat, nodes) = state
     size = mat.shape[1]
     R = radius
@@ -165,11 +170,12 @@ def _round(state, radius: int, shift_step: int = 3):
 
     from ..utils.platform import on_tpu
 
+    base = jnp.asarray(n0, I32) - n_clusters  # bottom-up ids allocated so far
     if on_tpu():
         from .pallas.ploc_round import ploc_round_fused
 
         mat, nodes, n_merged = ploc_round_fused(
-            mat, nodes, n_clusters, shift_bits, R
+            mat, nodes, n_clusters, shift_bits, base, R
         )
         shift_bits = jnp.minimum(shift_bits + shift_step, 32)
         return (n_clusters - n_merged, shift_bits, mat, nodes)
@@ -192,14 +198,14 @@ def _round(state, radius: int, shift_step: int = 3):
 
     rank = jnp.cumsum(merge.astype(I32)) - merge.astype(I32)
     n_merged = jnp.sum(merge.astype(I32))
-    # This round's nodes occupy the contiguous id slab
-    # [n_clusters-1-n_merged, n_clusters-2]; ids ascend in cluster order
-    # (the global allocation stays top-down across rounds — root lands at
-    # 0 — but intra-round order is free, cf. the reference's warp-race
-    # order, `Ploc++Kernel.h:311`). Contiguity lets the emission be a
-    # blended dynamic slice write: a row scatter costs ~1.4 ms flat on TPU
-    # per round, the slab write is pure dense traffic.
-    slab_start = n_clusters - 1 - n_merged
+    # This round's nodes occupy the contiguous BOTTOM-UP id slab
+    # [base, base+n_merged), ascending in cluster order. (The reference
+    # allocates top-down so the root lands at 0, `Ploc++Kernel.h:311`;
+    # bottom-up lets every block/round know its slab base from a running
+    # carry with no global barrier — ids are flipped once at the end.)
+    # Contiguity lets the emission be a blended dynamic slice write: a row
+    # scatter costs ~1.4 ms flat on TPU, the slab write is dense traffic.
+    slab_start = base
     new_id = slab_start + rank
 
     # emit merged nodes: compact rows to the front (stable sort keeps rank
@@ -297,51 +303,96 @@ def ploc_build_topology_packed(
     # blk <= min(16K, round128(s)) and s <= n
     nodes = jnp.zeros((8, n_internal + max(n + 512, 16384 + 512)), I32)
 
-    state = (jnp.asarray(n, I32), shift0, mat, nodes)
-
     from ..utils.platform import on_tpu
 
-    use_finisher = on_tpu()
-    if use_finisher:
-        from .pallas.ploc_round import _FIN_WIDTH, ploc_finish
+    if on_tpu():
+        # ---- TPU driver: ping-pong buffers, zero per-round XLA glue ----
+        from .pallas.ploc_round import (
+            _BLK, _FIN_WIDTH, ploc_finish, ploc_round_pp,
+        )
 
-        floor = _FIN_WIDTH
-    else:
-        floor = _MIN_STAGE
-
-    # staged shrink: clusters stay compacted at the front, so once the live
-    # count fits a smaller static size we slice down and keep going
-    size = n
-    sizes = []
-    while size > floor:
+        blk = _BLK
+        # staged shrink at blk granularity (survivors stay compacted at
+        # the front, so once the live count fits a smaller static size the
+        # ping-pong buffers slice down and the rounds get cheaper)
+        size = -(-n // blk) * blk
+        sizes = []
+        while size > _FIN_WIDTH:
+            sizes.append(size)
+            size = max(_FIN_WIDTH, (-(-int(size / _STAGE_RATIO) // blk)) * blk)
         sizes.append(size)
-        size = max(floor, ((int(size / _STAGE_RATIO) + 127) // 128) * 128)
-    sizes.append(size)
 
-    for si, size in enumerate(sizes):
-        target = sizes[si + 1] if si + 1 < len(sizes) else 1
-        if use_finisher and target == 1:
-            # tail rounds run inside ONE kernel (SinglePassPloc analog) —
-            # ~30 dispatch/glue round-trips collapse into a single call
-            (nc, sb, mat, nodes) = state
-            nodes = ploc_finish(mat, nodes, nc, sb, radius)
-            state = (jnp.asarray(1, I32), sb, mat, nodes)
-            break
+        w2 = sizes[0] + 2 * blk
+        A = jnp.concatenate(
+            [mat, jnp.zeros((8, w2 - n), I32)], axis=1
+        )
+        B = jnp.zeros_like(A)
+        state = (jnp.asarray(n, I32), shift0, A, B, nodes)
 
-        def cond(s, target=target):
-            return s[0] > target
+        for si, sp in enumerate(sizes):
+            target = sizes[si + 1] if si + 1 < len(sizes) else 1
+            (nc, sb, A, B, nodes) = state
+            if A.shape[1] > sp + 2 * blk:
+                A = A[:, : sp + 2 * blk]
+                B = B[:, : sp + 2 * blk]
+            if target == 1:
+                # tail rounds run inside ONE kernel (SinglePassPloc
+                # analog, in-kernel stage ladder)
+                nodes = ploc_finish(
+                    A[:, :_FIN_WIDTH], nodes, nc, sb,
+                    jnp.asarray(n, I32) - nc, radius,
+                )
+                state = (jnp.asarray(1, I32), sb, A, B, nodes)
+                break
 
-        def body(s):
-            return _round(s, radius, shift_step)
+            def body(s, sp=sp):
+                nc, sb, A, B, nodes = s
+                B2, nodes2, nm = ploc_round_pp(
+                    A, B, nodes, nc, sb, jnp.asarray(n, I32) - nc,
+                    radius, sp, blk,
+                )
+                sb = jnp.minimum(sb + shift_step, 32)
+                return (nc - nm, sb, B2, A, nodes2)
 
-        state = lax.while_loop(cond, body, state)
-        if target > 1:
-            (nc, sb, mat, nodes) = state
-            state = (nc, sb, mat[:, :target], nodes)
+            state = lax.while_loop(
+                lambda s, t=target: s[0] > t, body, state
+            )
+        (_, _, _, _, nodes) = state
+    else:
+        # ---- XLA fallback driver (CPU / interpret) ----
+        state = (jnp.asarray(n, I32), shift0, mat, nodes)
+        size = n
+        sizes = []
+        while size > _MIN_STAGE:
+            sizes.append(size)
+            size = max(_MIN_STAGE, ((int(size / _STAGE_RATIO) + 127) // 128) * 128)
+        sizes.append(size)
 
-    (_, _, _, nodes) = state
-    nodes = nodes[:, :n_internal]
+        for si, size in enumerate(sizes):
+            target = sizes[si + 1] if si + 1 < len(sizes) else 1
+
+            def cond(s, target=target):
+                return s[0] > target
+
+            def body(s):
+                return _round(s, n, radius, shift_step)
+
+            state = lax.while_loop(cond, body, state)
+            if target > 1:
+                (nc, sb, mat, nodes) = state
+                state = (nc, sb, mat[:, :target], nodes)
+
+        (_, _, _, nodes) = state
+    # ids were allocated bottom-up (root = n_internal-1); flip to the
+    # reference's root-at-0 numbering: column c -> n_internal-1-c (a lane
+    # reverse) and every internal child reference v -> n_internal-1-v
+    # (leaf references, v >= n_internal, stay)
+    nodes = nodes[:, :n_internal][:, ::-1]
     as_f = lambda x: lax.bitcast_convert_type(x, jnp.float32)
-    left = nodes[0]
-    right = nodes[1]
+
+    def remap(v):
+        return jnp.where(v < n_internal, n_internal - 1 - v, v)
+
+    left = remap(nodes[0])
+    right = remap(nodes[1])
     return left, right, as_f(nodes[2:8])
