@@ -70,14 +70,19 @@ def check(name: str, ok: bool) -> None:
         print(f"CHECK FAILED: {name}", file=sys.stderr)
 
 
-def _slope_time(make_loop, k_lo=2, k_hi=12, reps=3):
-    """Per-iteration ms via the slope between two in-jit loop lengths."""
-    f_lo = jax.jit(make_loop(k_lo))
-    f_hi = jax.jit(make_loop(k_hi))
-    np.asarray(f_lo())
-    np.asarray(f_hi())
-    lo = min(_t(f_lo) for _ in range(reps))
-    hi = min(_t(f_hi) for _ in range(reps))
+def _slope_time(loop_fn, k_lo=2, k_hi=12, reps=3):
+    """Per-iteration ms via the slope between two in-jit loop lengths.
+
+    `loop_fn(k)` runs the measured body k times inside one jit; k is a
+    TRACED scalar so both loop lengths share ONE compiled executable
+    (static trip counts doubled every Mosaic compile through the tunnel)."""
+    f = jax.jit(loop_fn)
+    klo = jnp.asarray(k_lo, jnp.int32)
+    khi = jnp.asarray(k_hi, jnp.int32)
+    np.asarray(f(klo))
+    np.asarray(f(khi))
+    lo = min(_t(lambda: f(klo)) for _ in range(reps))
+    hi = min(_t(lambda: f(khi)) for _ in range(reps))
     return (hi - lo) / (k_hi - k_lo) * 1e3
 
 
@@ -107,15 +112,13 @@ def _phase_table(tris):
         return mnx, mny, mnz, mxx, mxy, mxz
 
     def mk_extents(k):
-        def run():
-            def body(i, acc):
-                t = tris + i.astype(jnp.float32) * 1e-7
-                mnx, mny, mnz, mxx, mxy, mxz = tri_cols(t)
-                smin = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
-                smax = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
-                return acc + smin[0] + smax[2] + mnx[0]
-            return lax.fori_loop(0, k, body, 0.0)
-        return run
+        def body(i, acc):
+            t = tris + i.astype(jnp.float32) * 1e-7
+            mnx, mny, mnz, mxx, mxy, mxz = tri_cols(t)
+            smin = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
+            smax = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
+            return acc + smin[0] + smax[2] + mnx[0]
+        return lax.fori_loop(0, k, body, 0.0)
 
     cols = jax.jit(tri_cols)(tris)
     mnx, mny, mnz, mxx, mxy, mxz = [jax.block_until_ready(c) for c in cols]
@@ -125,16 +128,14 @@ def _phase_table(tris):
     safe = jnp.where(ext > 0, ext, 1.0)
 
     def mk_morton(k):
-        def run():
-            def body(i, acc):
-                p = i.astype(jnp.float32) * 1e-7
-                nx = ((mnx + mxx) * 0.5 + p - smin[0]) / safe[0]
-                ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
-                nz = ((mnz + mxz) * 0.5 - smin[2]) / safe[2]
-                codes = M.extended_morton30_cols(nx, ny, nz, ext)
-                return acc + codes[0].astype(jnp.float32)
-            return lax.fori_loop(0, k, body, 0.0)
-        return run
+        def body(i, acc):
+            p = i.astype(jnp.float32) * 1e-7
+            nx = ((mnx + mxx) * 0.5 + p - smin[0]) / safe[0]
+            ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
+            nz = ((mnz + mxz) * 0.5 - smin[2]) / safe[2]
+            codes = M.extended_morton30_cols(nx, ny, nz, ext)
+            return acc + codes[0].astype(jnp.float32)
+        return lax.fori_loop(0, k, body, 0.0)
 
     nx = ((mnx + mxx) * 0.5 - smin[0]) / safe[0]
     ny = ((mny + mxy) * 0.5 - smin[1]) / safe[1]
@@ -145,24 +146,20 @@ def _phase_table(tris):
     prim_idx = jnp.arange(n, dtype=jnp.int32)
 
     def mk_sort(k):
-        def run():
-            def body(i, acc):
-                c = codes0 + i.astype(jnp.uint32)
-                ops = (c, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
-                out = lax.sort(ops, num_keys=1, is_stable=True)
-                return acc + out[0][0].astype(jnp.float32) + out[1][0]
-            return lax.fori_loop(0, k, body, 0.0)
-        return run
+        def body(i, acc):
+            c = codes0 + i.astype(jnp.uint32)
+            ops = (c, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
+            out = lax.sort(ops, num_keys=1, is_stable=True)
+            return acc + out[0][0].astype(jnp.float32) + out[1][0]
+        return lax.fori_loop(0, k, body, 0.0)
 
     def mk_front(k):
-        def run():
-            def body(i, acc):
-                t = tris + i.astype(jnp.float32) * 1e-7
-                c, lpk, lp = lbvh._sorted_leaves_from_tris(t, True)
-                return (acc + c[0].astype(jnp.float32) + lpk[0, 0]
-                        + lp[0].astype(jnp.float32))
-            return lax.fori_loop(0, k, body, 0.0)
-        return run
+        def body(i, acc):
+            t = tris + i.astype(jnp.float32) * 1e-7
+            c, lpk, lp = lbvh._sorted_leaves_from_tris(t, True)
+            return (acc + c[0].astype(jnp.float32) + lpk[0, 0]
+                    + lp[0].astype(jnp.float32))
+        return lax.fori_loop(0, k, body, 0.0)
 
     phases = {}
     for name, mk in [("extents", mk_extents), ("morton", mk_morton),
@@ -213,19 +210,16 @@ def main() -> None:
     results = {}
     sah2 = {}
     for name, build in builders.items():
-        def make_loop(k, build=build):
-            def run():
-                def body(i, acc):
-                    t = tris + (i.astype(jnp.float32) * 1e-7)
-                    bvh = build(t)
-                    return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
-                return lax.fori_loop(0, k, body, 0.0)
-
-            return run
+        def build_loop(k, build=build):
+            def body(i, acc):
+                t = tris + (i.astype(jnp.float32) * 1e-7)
+                bvh = build(t)
+                return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
+            return lax.fori_loop(0, k, body, 0.0)
 
         try:
             k_hi = 12 if "pass" in name else 4
-            ms = _slope_time(make_loop, k_lo=1, k_hi=k_hi)
+            ms = _slope_time(build_loop, k_lo=1, k_hi=k_hi)
             results[name] = ms
             build_only = ms - front_ms
             ref_total = BASELINES_MS[name]
@@ -260,20 +254,17 @@ def main() -> None:
 
         bvh0 = jax.block_until_ready(lbvh.build_single_pass(tris))
 
-        def make_collapse_loop(k):
-            def run():
-                def body(i, acc):
-                    b = bvh0._replace(
-                        packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
-                    )
-                    wide = collapse_ops.collapse_bvh2_to_bvh4(b)
-                    return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
+        def collapse_loop(k):
+            def body(i, acc):
+                b = bvh0._replace(
+                    packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
+                )
+                wide = collapse_ops.collapse_bvh2_to_bvh4(b)
+                return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
 
-                return lax.fori_loop(0, k, body, 0.0)
+            return lax.fori_loop(0, k, body, 0.0)
 
-            return run
-
-        ms = _slope_time(make_collapse_loop, k_lo=1, k_hi=4)
+        ms = _slope_time(collapse_loop, k_lo=1, k_hi=4)
         print(
             f"collapse: {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
             f"{REF_COLLAPSE_MS/ms:.2f}x)",
@@ -331,16 +322,13 @@ def main() -> None:
             np.broadcast_to(base, (n_meshes, *base.shape)).copy()
         )
 
-        def mk_batched(k):
-            def run():
-                def body(i, acc):
-                    t = tris_b + (i.astype(jnp.float32) * 1e-7)
-                    b = batched.build_batched(t)
-                    return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
+        def batched_loop(k):
+            def body(i, acc):
+                t = tris_b + (i.astype(jnp.float32) * 1e-7)
+                b = batched.build_batched(t)
+                return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
 
-                return lax.fori_loop(0, k, body, 0.0)
-
-            return run
+            return lax.fori_loop(0, k, body, 0.0)
 
         # wide k spread: per-iter cost is small vs dispatch noise, and a
         # narrow spread produced negative slopes on the tunneled chip

@@ -245,7 +245,7 @@ def ploc_emit_compact(mat, nn, nodes, n_clusters, base,
 def _fused_kernel(sc_ref, left_ref, mid_ref, right_ref, nodes_ref, surv_ref,
                   nodes_out_ref, surv_out_ref, nm_ref,
                   carry_ref, ewin_ref, swin_ref,
-                  esem, ssem, *, radius: int, blk: int):
+                  esem, ssem, *, radius: int, blk: int, surv_base: int = 0):
     from .ploc_nn import _HALO, _nn_body
 
     i = pl.program_id(0)
@@ -324,7 +324,7 @@ def _fused_kernel(sc_ref, left_ref, mid_ref, right_ref, nodes_ref, surv_ref,
         st2.wait()
 
     stitch(emit_c, cnt_m, base + carry_m, nodes_out_ref, ewin_ref, esem)
-    stitch(surv_c, cnt_k, carry_k, surv_out_ref, swin_ref, ssem)
+    stitch(surv_c, cnt_k, surv_base + carry_k, surv_out_ref, swin_ref, ssem)
 
     carry_ref[0] = carry_m + cnt_m
     carry_ref[1] = carry_k + cnt_k
@@ -399,37 +399,42 @@ def ploc_round_fused(mat, nodes, n_clusters, shift_bits, base, radius: int,
 
 
 def ploc_round_pp(matA, matB, nodes, n_clusters, shift_bits, base,
-                  radius: int, sp: int, blk: int, interpret: bool = False):
+                  radius: int, blk: int, n_blocks,
+                  interpret: bool = False):
     """Ping-pong variant of `ploc_round_fused` with ZERO per-round XLA
-    glue: matA/matB are preallocated i32[8, sp + 2*blk] buffers carried
-    through the driver's while_loop (no pad concat, no fresh survivor
-    zeros, no output slice — each round reads A and compacts survivors
-    into B in place, then the driver swaps them). `sp` (blk multiple,
-    >= live cluster count) bounds the grid; lanes past the live count are
-    masked by nc, so stale ping-pong content is harmless.
+    glue and a DYNAMIC grid: matA/matB are preallocated
+    i32[8, blk + D + blk (+ slack)] buffers (one leading and one trailing
+    pad block around the D-wide data region) carried through the driver's
+    while_loop. `n_blocks` = ceil(live / blk) may be a TRACED scalar —
+    the grid only covers live blocks, so per-round cost tracks the live
+    cluster count exactly and ONE kernel instantiation serves the whole
+    agglomeration (a static stage ladder cost one ~60 s Mosaic compile
+    per stage width). Each round reads A and compacts survivors into B
+    in place; the driver swaps them.
     Returns (matB' aliased, nodes' aliased, n_merged)."""
     from .ploc_nn import _HALO
 
     if radius * 2 > _HALO:
         raise ValueError(f"radius {radius} needs halo >= {radius * 2}")
-    assert sp % blk == 0 and matA.shape[1] == sp + 2 * blk
     assert matB.shape == matA.shape
     assert blk + _WPAD <= 2 * blk
-    grid = sp // blk
     sc = jnp.stack(
         [jnp.asarray(n_clusters, jnp.int32),
          jnp.asarray(shift_bits, jnp.int32),
          jnp.asarray(base, jnp.int32)]
     )
-    clamp = lambda j: jnp.clip(j, 0, grid - 1)
+    # data region starts at column blk, so the halo neighbors of grid
+    # step i are plain blocks i / i+1 / i+2 — no clamping, no edge cases
+    # for any grid size.
     nodes_out, surv, nm = pl.pallas_call(
-        functools.partial(_fused_kernel, radius=radius, blk=blk),
-        grid=(grid,),
+        functools.partial(_fused_kernel, radius=radius, blk=blk,
+                          surv_base=blk),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
             pl.BlockSpec((8, blk), lambda i: (0, i)),
-            pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
+            pl.BlockSpec((8, blk), lambda i: (0, i + 1)),
+            pl.BlockSpec((8, blk), lambda i: (0, i + 2)),
             pl.BlockSpec(memory_space=pl.ANY),  # nodes (aliased out 0)
             pl.BlockSpec(memory_space=pl.ANY),  # matB (aliased out 1)
         ],

@@ -21,10 +21,11 @@ order: `nn[i]`, `cnode[nn[i]]`, `aabb[nn[i]]` are (2R+1)-way dense selects
 over shifted arrays, never gathers. Cluster state is struct-of-columns;
 compaction is one stable multi-operand sort; each round's merged nodes get
 a contiguous id slab and are emitted with a blended dynamic-slice write
-into a lane-major buffer (a row scatter costs ~1.4 ms flat on TPU). The
-outer loop runs in *stages* of geometrically shrinking static array sizes
-(clusters stay compacted at the front), so late rounds don't pay
-full-width work.
+into a lane-major buffer (a row scatter costs ~1.4 ms flat on TPU). On
+TPU the round kernel runs with a DYNAMIC grid sized to the live cluster
+count (clusters stay compacted at the front), so late rounds don't pay
+full-width work; the XLA fallback approximates that with a static stage
+ladder of geometrically shrinking widths.
 
 Merged nodes are allocated top-down (`nClusters - 2 - prefix`,
 `Ploc++Kernel.h:311`) so the root lands at index 0 — the same convention,
@@ -306,58 +307,50 @@ def ploc_build_topology_packed(
     from ..utils.platform import on_tpu
 
     if on_tpu():
-        # ---- TPU driver: ping-pong buffers, zero per-round XLA glue ----
+        # ---- TPU driver: ping-pong buffers, zero per-round XLA glue,
+        # DYNAMIC grid: each round's kernel covers only ceil(live/blk)
+        # blocks, so round cost tracks the live cluster count exactly and
+        # ONE ploc_round_pp instantiation serves the whole agglomeration
+        # (the previous static stage ladder paid one ~60 s Mosaic compile
+        # per stage width). ----
         from .pallas.ploc_round import (
-            _BLK, _FIN_WIDTH, ploc_finish, ploc_round_pp,
+            _BLK, _FIN_WIDTH, _WPAD, ploc_finish, ploc_round_pp,
         )
 
         blk = _BLK
-        # staged shrink at blk granularity (survivors stay compacted at
-        # the front, so once the live count fits a smaller static size the
-        # ping-pong buffers slice down and the rounds get cheaper)
-        size = -(-n // blk) * blk
-        sizes = []
-        while size > _FIN_WIDTH:
-            sizes.append(size)
-            size = max(_FIN_WIDTH, (-(-int(size / _STAGE_RATIO) // blk)) * blk)
-        sizes.append(size)
-
-        w2 = sizes[0] + 2 * blk
+        nblk = -(-n // blk)
+        # layout: [pad blk | data nblk*blk | pad blk + _WPAD slack]. The
+        # leading pad block serves grid step 0's left halo; the trailing
+        # pad covers the last step's right halo plus the survivor stitch
+        # window overhang (wbase <= blk + nc, window = blk + _WPAD).
+        w2 = (nblk + 2) * blk + _WPAD
         A = jnp.concatenate(
-            [mat, jnp.zeros((8, w2 - n), I32)], axis=1
+            [jnp.zeros((8, blk), I32), mat,
+             jnp.zeros((8, w2 - blk - n), I32)], axis=1
         )
         B = jnp.zeros_like(A)
-        state = (jnp.asarray(n, I32), shift0, A, B, nodes)
+        n_a = jnp.asarray(n, I32)
 
-        for si, sp in enumerate(sizes):
-            target = sizes[si + 1] if si + 1 < len(sizes) else 1
-            (nc, sb, A, B, nodes) = state
-            if A.shape[1] > sp + 2 * blk:
-                A = A[:, : sp + 2 * blk]
-                B = B[:, : sp + 2 * blk]
-            if target == 1:
-                # tail rounds run inside ONE kernel (SinglePassPloc
-                # analog, in-kernel stage ladder)
-                nodes = ploc_finish(
-                    A[:, :_FIN_WIDTH], nodes, nc, sb,
-                    jnp.asarray(n, I32) - nc, radius,
-                )
-                state = (jnp.asarray(1, I32), sb, A, B, nodes)
-                break
-
-            def body(s, sp=sp):
-                nc, sb, A, B, nodes = s
-                B2, nodes2, nm = ploc_round_pp(
-                    A, B, nodes, nc, sb, jnp.asarray(n, I32) - nc,
-                    radius, sp, blk,
-                )
-                sb = jnp.minimum(sb + shift_step, 32)
-                return (nc - nm, sb, B2, A, nodes2)
-
-            state = lax.while_loop(
-                lambda s, t=target: s[0] > t, body, state
+        def body(s):
+            nc, sb, A, B, nodes = s
+            nb = (nc + (blk - 1)) // blk  # traced grid size
+            B2, nodes2, nm = ploc_round_pp(
+                A, B, nodes, nc, sb, n_a - nc, radius, blk, nb
             )
-        (_, _, _, _, nodes) = state
+            sb = jnp.minimum(sb + shift_step, 32)
+            return (nc - nm, sb, B2, A, nodes2)
+
+        fin = min(_FIN_WIDTH, -(-n // 128) * 128)
+        state = lax.while_loop(
+            lambda s: s[0] > fin, body,
+            (n_a, shift0, A, B, nodes),
+        )
+        (nc, sb, A, B, nodes) = state
+        # tail rounds run inside ONE kernel (SinglePassPloc analog,
+        # in-kernel stage ladder)
+        nodes = ploc_finish(
+            A[:, blk:blk + fin], nodes, nc, sb, n_a - nc, radius,
+        )
     else:
         # ---- XLA fallback driver (CPU / interpret) ----
         state = (jnp.asarray(n, I32), shift0, mat, nodes)
