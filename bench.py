@@ -332,7 +332,7 @@ def main() -> None:
 
         # wide k spread: per-iter cost is small vs dispatch noise, and a
         # narrow spread produced negative slopes on the tunneled chip
-        ms = _slope_time(mk_batched, k_lo=2, k_hi=16, reps=5)
+        ms = _slope_time(batched_loop, k_lo=2, k_hi=16, reps=5)
         print(
             f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
             f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
