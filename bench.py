@@ -161,11 +161,16 @@ def _phase_table(tris):
                     + lp[0].astype(jnp.float32))
         return lax.fori_loop(0, k, body, 0.0)
 
+    # wide k spreads: the cheap phases (morton ~0.03 ms/iter) sit below the
+    # tunnel's dispatch noise at k_hi=12 and produced NEGATIVE slopes in
+    # round 2 — stretch the loop until the slope dominates the noise.
     phases = {}
-    for name, mk in [("extents", mk_extents), ("morton", mk_morton),
-                     ("sort", mk_sort), ("front", mk_front)]:
+    for name, mk, k_hi in [("extents", mk_extents, 96),
+                           ("morton", mk_morton, 96),
+                           ("sort", mk_sort, 48),
+                           ("front", mk_front, 32)]:
         try:
-            phases[name] = _slope_time(mk)
+            phases[name] = _slope_time(mk, k_lo=2, k_hi=k_hi, reps=5)
         except Exception as e:  # noqa: BLE001
             print(f"phase {name} failed: {e}", file=sys.stderr)
             phases[name] = float("nan")
@@ -299,11 +304,30 @@ def main() -> None:
         from tpu_bvh.utils.cpu_reference import collapse_cpu
 
         w_cpu = collapse_cpu(b_small)
-        ok = True
-        for f in w_gpu._fields:
+        # compare only USED slots (< n_nodes; AABBs only where a child
+        # exists) — unused padding holds whatever the kernel left there,
+        # exactly like tests/test_collapse.py. Round 2's gate compared the
+        # full arrays and falsely failed on stale padding.
+        ok = int(w_gpu.n_nodes) == w_cpu["n_nodes"]
+        kk = w_cpu["n_nodes"]
+        slots = w_cpu["child"][:kk] >= 0
+        for f, exact, mask in [
+            ("child", True, None),
+            ("parent", True, None),
+            ("child_count", True, None),
+            ("leaf_prim", True, "full"),
+            ("leaf_parent", True, "full"),
+            ("child_min", False, "slots"),
+            ("child_max", False, "slots"),
+        ]:
             a = np.asarray(getattr(w_gpu, f))
             b = np.asarray(w_cpu[f])  # collapse_cpu returns a dict
-            if not np.array_equal(a, b):
+            if mask != "full":
+                a, b = a[:kk], b[:kk]
+            if mask == "slots":
+                a, b = a[slots], b[slots]
+            same = np.array_equal(a, b) if exact else np.allclose(a, b)
+            if not same:
                 ok = False
                 print(f"collapse oracle mismatch in {f}", file=sys.stderr)
         check("collapse_matches_cpu_oracle", ok)
@@ -354,24 +378,25 @@ def main() -> None:
         rays = camera.generate_rays(cam, w, h)
         rpack = raster.pack_raster(bvh, tris, leaf_size=64)
 
-        def make_loop(k):
-            def run():
-                def body(i, carry):
-                    acc, any_ovf = carry
-                    r2 = rays._replace(
-                        direction=rays.direction
-                        * (1.0 + i.astype(jnp.float32) * 1e-7)
-                    )
-                    hit, ovf = raster_tpu._render_tpu_impl(
-                        rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                        w, h, 1024, 4096, 32, 64, False,
-                    )
-                    return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
-                return lax.fori_loop(0, k, body, (0.0, jnp.zeros((), bool)))
+        def raster_loop(k):
+            def body(i, carry):
+                acc, any_ovf = carry
+                r2 = rays._replace(
+                    direction=rays.direction
+                    * (1.0 + i.astype(jnp.float32) * 1e-7)
+                )
+                hit, ovf = raster_tpu._render_tpu_impl(
+                    rpack.tris_sorted, rpack.prim_ids, r2, tr,
+                    w, h, 1024, 4096, 32, 64, False,
+                )
+                return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
 
-            return run
+            acc, any_ovf = lax.fori_loop(
+                0, k, body, (0.0, jnp.zeros((), bool))
+            )
+            return acc + any_ovf.astype(jnp.float32)
 
-        ms = _slope_time(make_loop, k_lo=2, k_hi=8, reps=3)
+        ms = _slope_time(raster_loop, k_lo=2, k_hi=8, reps=3)
         mrays = (w * h) / (ms * 1e-3) / 1e6
         print(
             f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s "
@@ -421,20 +446,17 @@ def main() -> None:
             ni = bvh.n_internal
             root = bvh.root
 
-            def make_loop(k):
-                def run():
-                    def body(i, acc):
-                        r2 = rays._replace(
-                            origin=rays.origin + i.astype(jnp.float32) * 1e-6
-                        )
-                        hit, _ = traverse.traverse_packed(packed, ni, root, r2, tr)
-                        return acc + hit.t[0]
+            def wavefront_loop(k):
+                def body(i, acc):
+                    r2 = rays._replace(
+                        origin=rays.origin + i.astype(jnp.float32) * 1e-6
+                    )
+                    hit, _ = traverse.traverse_packed(packed, ni, root, r2, tr)
+                    return acc + hit.t[0]
 
-                    return lax.fori_loop(0, k, body, 0.0)
+                return lax.fori_loop(0, k, body, 0.0)
 
-                return run
-
-            ms = _slope_time(make_loop, k_lo=1, k_hi=4, reps=3)
+            ms = _slope_time(wavefront_loop, k_lo=1, k_hi=4, reps=3)
             mrays = (w * h) / (ms * 1e-3) / 1e6
             print(
                 f"traversal(packed wavefront): {ms:.3f} ms = {mrays:.1f} Mrays/s",
