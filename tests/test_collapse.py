@@ -48,6 +48,26 @@ def test_collapse_reduces_cost(cornellbox_tris):
     assert c4 < 0.7 * c2
 
 
+@pytest.mark.parametrize("n", [3, 33, 500])
+def test_analytic_collapse_matches_oracle(rng, n):
+    """The closed-form (queue-free) derivation reproduces the oracle
+    byte-for-byte — it is the executable spec the blocked kernel targets."""
+    from tpu_bvh.ops.collapse_analytic import collapse_bvh2_to_bvh4_analytic
+
+    tris = random_tris(rng, n)
+    for bvh in (lbvh.build_two_pass(tris), lbvh.build_single_pass(tris)):
+        got = collapse_bvh2_to_bvh4_analytic(bvh)
+        want = cpu_reference.collapse_cpu(bvh)
+        k = want["n_nodes"]
+        assert int(got.n_nodes) == k
+        assert np.array_equal(np.asarray(got.child)[:k], want["child"][:k])
+        assert np.array_equal(np.asarray(got.parent)[:k], want["parent"][:k])
+        assert np.array_equal(np.asarray(got.leaf_prim), want["leaf_prim"])
+        assert np.array_equal(
+            np.asarray(got.leaf_parent), want["leaf_parent"]
+        )
+
+
 def test_collapse_single_pass_builder(rng):
     """Collapse works off the Apetrei layout too (root != 0), like the
     reference reuses one collapse kernel across builders
