@@ -46,11 +46,20 @@ import numpy as np
 from jax import lax
 
 # Reference numbers: README.md:49-211 (RX6800). "Total" excludes collapse.
+# Two scenes, like the reference's perf tables: Bunny 150K / Sponza 260K.
 BASELINES_MS = {
-    "single_pass": 0.9886,  # README.md:109-127 Sponza Total
-    "two_pass": 1.4836,  # README.md:67-85
-    "ploc": 1.6410,  # README.md:193-209
-    "hploc": 1.3508,  # README.md:151-167
+    "sponza_like": {
+        "single_pass": 0.9886,  # README.md:109-127 Sponza Total
+        "two_pass": 1.4836,  # README.md:67-85
+        "ploc": 1.6410,  # README.md:193-209
+        "hploc": 1.3508,  # README.md:151-167
+    },
+    "bunny_like": {
+        "single_pass": 0.9274,  # README.md:87-105 Bunny Total
+        "two_pass": 1.1415,  # README.md:49-65
+        "ploc": 1.1581,  # README.md:171-189
+        "hploc": 1.0222,  # README.md:129-147
+    },
 }
 REF_PHASES_MS = {  # single-pass sponza per-phase, README.md:109-127
     "extents": 0.2249,
@@ -60,6 +69,36 @@ REF_PHASES_MS = {  # single-pass sponza per-phase, README.md:109-127
 }
 REF_COLLAPSE_MS = 3.3160  # single-pass sponza, README.md:119
 HEADLINE = "single_pass"
+
+# SAH regression pins (the reference documents its SAH values as regression
+# oracles, README.md:61,81; these are this repo's measured values for the
+# procedural scenes — fail `verified` on >1% drift).
+SAH_PINS = {
+    # scene -> {builder: bvh2 SAH}; bvh4 pin for single_pass collapse
+    "sponza_like": {
+        "single_pass": 333.01,
+        "two_pass": 333.01,
+        "ploc": 280.94,
+        "hploc": 281.14,
+        "bvh4": 159.13,
+    },
+    # bunny pins: None until recorded from the first verified r3 run
+    "bunny_like": {
+        "single_pass": None,
+        "two_pass": None,
+        "ploc": None,
+        "hploc": None,
+    },
+}
+
+
+def check_sah(name: str, value: float, pin: float | None) -> None:
+    if pin is None:
+        return
+    ok = abs(value - pin) <= 0.01 * abs(pin)
+    if not ok:
+        print(f"SAH drift: {name} {value:.2f} vs pin {pin:.2f}", file=sys.stderr)
+    check(f"{name}_sah_pin", ok)
 
 CHECKS: list[tuple[str, bool]] = []
 
@@ -188,23 +227,9 @@ def main() -> None:
     print(f"device: {dev}", file=sys.stderr)
 
     n_scene = int(os.environ.get("TPU_BVH_BENCH_N", 262_000))
-    tris_np = scenes.sponza_like(n_scene)
-    tris = jax.device_put(jnp.asarray(tris_np), dev)
-    n = int(tris.shape[0])
-    print(f"scene: sponza_like {n} tris", file=sys.stderr)
-
-    # ---- per-phase front table (reference report block analog) ----
-    phases = _phase_table(tris)
-    front_ms = phases.get("front", float("nan"))
-    ref_front = sum(REF_PHASES_MS[k] for k in ("extents", "morton", "sort"))
-    print("phase table (ms, vs reference single-pass sponza):", file=sys.stderr)
-    for name in ("extents", "morton", "sort"):
-        ours = phases.get(name, float("nan"))
-        ref = REF_PHASES_MS[name]
-        print(f"  {name:8s} {ours:7.3f}  (ref {ref:.3f} -> {ref/ours:5.2f}x)",
-              file=sys.stderr)
-    print(f"  front    {front_ms:7.3f}  (ref {ref_front:.3f} -> "
-          f"{ref_front/front_ms:5.2f}x)", file=sys.stderr)
+    scene_list = [("sponza_like", scenes.sponza_like(n_scene))]
+    if not os.environ.get("TPU_BVH_BENCH_FAST"):
+        scene_list.append(("bunny_like", scenes.bunny_like(150_000)))
 
     builders = {
         "single_pass": lbvh.build_single_pass,
@@ -214,82 +239,127 @@ def main() -> None:
     }
     results = {}
     sah2 = {}
-    for name, build in builders.items():
-        def build_loop(k, build=build):
-            def body(i, acc):
-                t = tris + (i.astype(jnp.float32) * 1e-7)
-                bvh = build(t)
-                return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
-            return lax.fori_loop(0, k, body, 0.0)
+    tris = None  # sponza tris survive the loop for collapse/render below
+    for scene_name, tris_np in scene_list:
+        t_scene = jax.device_put(jnp.asarray(tris_np), dev)
+        if scene_name == "sponza_like":
+            tris = t_scene
+        n = int(t_scene.shape[0])
+        print(f"scene: {scene_name} {n} tris", file=sys.stderr)
 
-        try:
-            k_hi = 12 if "pass" in name else 4
-            ms = _slope_time(build_loop, k_lo=1, k_hi=k_hi)
-            results[name] = ms
-            build_only = ms - front_ms
-            ref_total = BASELINES_MS[name]
-            print(
-                f"{name}: total {ms:.3f} ms (build phase {build_only:.3f}) "
-                f"vs ref {ref_total:.3f} ms -> {ref_total/ms:.2f}x",
-                file=sys.stderr,
+        # per-phase front table (reference report block analog), sponza only
+        if scene_name == "sponza_like":
+            phases = _phase_table(t_scene)
+            front_ms = phases.get("front", float("nan"))
+            ref_front = sum(
+                REF_PHASES_MS[k] for k in ("extents", "morton", "sort")
             )
-        except Exception as e:  # noqa: BLE001
-            print(f"{name} bench failed: {e}", file=sys.stderr)
-            check(f"{name}_bench_ran", False)
+            print("phase table (ms, vs reference single-pass sponza):",
+                  file=sys.stderr)
+            for name in ("extents", "morton", "sort"):
+                # cheap phases sit at tunnel-noise level; clamp the slope
+                ours = max(phases.get(name, float("nan")), 1e-3)
+                ref = REF_PHASES_MS[name]
+                print(
+                    f"  {name:8s} {ours:7.3f}  (ref {ref:.3f} -> "
+                    f"{ref/ours:5.2f}x)",
+                    file=sys.stderr,
+                )
+            print(f"  front    {front_ms:7.3f}  (ref {ref_front:.3f} -> "
+                  f"{ref_front/front_ms:5.2f}x)", file=sys.stderr)
 
-    # ---- on-chip structural verification + BVH2 SAH per builder ----
-    for name, build in builders.items():
-        try:
-            bvh = jax.block_until_ready(build(tris))
-            c = float(sah_cost_bvh2(bvh))
-            sah2[name] = c
-            ok_root = validate.check_root_aabb(bvh)
-            ok_tree = validate.check_bvh2_correctness(bvh, n)
-            check(f"{name}_root_aabb", ok_root)
-            check(f"{name}_bvh2_correct", ok_tree)
-            print(f"{name}: sah_bvh2 {c:.2f} verified="
-                  f"{ok_root and ok_tree}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"{name} verify failed: {e}", file=sys.stderr)
-            check(f"{name}_verify_ran", False)
+        for name, build in builders.items():
+            def build_loop(k, build=build, t_scene=t_scene):
+                def body(i, acc):
+                    t = t_scene + (i.astype(jnp.float32) * 1e-7)
+                    bvh = build(t)
+                    return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
+                return lax.fori_loop(0, k, body, 0.0)
+
+            try:
+                k_hi = 12 if "pass" in name else 4
+                ms = _slope_time(build_loop, k_lo=1, k_hi=k_hi)
+                results[(scene_name, name)] = ms
+                ref_total = BASELINES_MS[scene_name][name]
+                print(
+                    f"{scene_name}/{name}: total {ms:.3f} ms "
+                    f"vs ref {ref_total:.3f} ms -> {ref_total/ms:.2f}x",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"{scene_name}/{name} bench failed: {e}", file=sys.stderr)
+                check(f"{scene_name}_{name}_bench_ran", False)
+
+        # ---- on-chip structural verification + BVH2 SAH per builder ----
+        # (pins are recorded at the default scene sizes only)
+        pins = SAH_PINS.get(scene_name, {}) if n in (261996, 149604) else {}
+        for name, build in builders.items():
+            try:
+                bvh = jax.block_until_ready(build(t_scene))
+                c = float(sah_cost_bvh2(bvh))
+                sah2[(scene_name, name)] = c
+                ok_root = validate.check_root_aabb(bvh)
+                ok_tree = validate.check_bvh2_correctness(bvh, n)
+                check(f"{scene_name}_{name}_root_aabb", ok_root)
+                check(f"{scene_name}_{name}_bvh2_correct", ok_tree)
+                check_sah(f"{scene_name}_{name}", c, pins.get(name))
+                print(f"{scene_name}/{name}: sah_bvh2 {c:.2f} verified="
+                      f"{ok_root and ok_tree}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"{scene_name}/{name} verify failed: {e}", file=sys.stderr)
+                check(f"{scene_name}_{name}_verify_ran", False)
+    n = int(tris.shape[0])
 
     # ---- BVH2 -> BVH4 collapse (reference: 3.32 ms sponza single-pass) ----
+    # Timed path: the blocked fast collapse (ops/collapse_fast.py) on the
+    # boundary-layout LBVH tree — same greedy tree as the reference's
+    # persistent-kernel collapse, sparse numbering, isomorphism-gated
+    # against the sequential CPU oracle below. The queue-ordered slab BFS
+    # (ops/collapse.py) remains the general-tree path and its own oracle
+    # gate keeps running.
     try:
         from tpu_bvh.ops import collapse as collapse_ops
+        from tpu_bvh.ops.collapse_fast import collapse_lbvh_to_bvh4
 
-        bvh0 = jax.block_until_ready(lbvh.build_single_pass(tris))
+        bvh0, parent0, first0, last0 = jax.block_until_ready(
+            lbvh.build_single_pass_aux(tris)
+        )
 
         def collapse_loop(k):
             def body(i, acc):
                 b = bvh0._replace(
                     packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
                 )
-                wide = collapse_ops.collapse_bvh2_to_bvh4(b)
+                wide = collapse_lbvh_to_bvh4(b, parent0, first0, last0)
                 return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
 
             return lax.fori_loop(0, k, body, 0.0)
 
         ms = _slope_time(collapse_loop, k_lo=1, k_hi=4)
         print(
-            f"collapse: {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
+            f"collapse(fast): {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
             f"{REF_COLLAPSE_MS/ms:.2f}x)",
             file=sys.stderr,
         )
 
         # BVH4 SAH (the reference's regression oracle, Utility.cpp:351-396)
         # + collapse quality-improvement ratio (~2.2x claimed, README.md:19)
-        wide = jax.block_until_ready(collapse_ops.collapse_bvh2_to_bvh4(bvh0))
+        wide = jax.block_until_ready(
+            collapse_lbvh_to_bvh4(bvh0, parent0, first0, last0)
+        )
         from tpu_bvh.ops.aabb import triangle_aabbs
 
         pmn, pmx = triangle_aabbs(tris)
         c4 = float(sah_cost_bvh4(wide, pmn, pmx))
-        c2 = sah2.get("single_pass", float("nan"))
+        c2 = sah2.get(("sponza_like", "single_pass"), float("nan"))
         print(
             f"collapse: sah_bvh4 {c4:.2f} (bvh2 {c2:.2f} -> "
             f"improvement {c2/c4:.2f}x; ref claims ~2.2x)",
             file=sys.stderr,
         )
         check("bvh4_correct", validate.check_bvh4_correctness(wide, n))
+        if n == 261996:
+            check_sah("sponza_bvh4", c4, SAH_PINS["sponza_like"].get("bvh4"))
 
         # chip collapse == CPU oracle, byte-for-byte, at an oracle-sized
         # scene (the full CPU collapse is a Python loop; 16K is plenty to
@@ -297,13 +367,44 @@ def main() -> None:
         tris_small = jax.device_put(
             jnp.asarray(scenes.sponza_like(16_384)), dev
         )
-        b_small = jax.block_until_ready(lbvh.build_single_pass(tris_small))
+        b_small, p_small, f_small, l_small = jax.block_until_ready(
+            lbvh.build_single_pass_aux(tris_small)
+        )
         w_gpu = jax.block_until_ready(
             collapse_ops.collapse_bvh2_to_bvh4(b_small)
         )
         from tpu_bvh.utils.cpu_reference import collapse_cpu
 
         w_cpu = collapse_cpu(b_small)
+
+        # fast path: byte-exact up to the explicit wide-node isomorphism
+        # (the oracle's b2_node array maps BFS numbering -> sparse ids)
+        w_fast = jax.block_until_ready(
+            collapse_lbvh_to_bvh4(b_small, p_small, f_small, l_small)
+        )
+        b2 = w_cpu["b2_node"]
+        kk0 = w_cpu["n_nodes"]
+        used = b2[:kk0]
+        fok = int(w_fast.n_nodes) == kk0
+        fok &= np.array_equal(
+            np.asarray(w_fast.child_count)[used], w_cpu["child_count"][:kk0]
+        )
+        su = np.arange(4)[None, :] < w_cpu["child_count"][:kk0][:, None]
+        o_child = w_cpu["child"][:kk0]
+        remap = np.where(
+            (o_child >= 0) & (o_child < w_fast.n_internal_cap),
+            b2[np.clip(o_child, 0, len(b2) - 1)], o_child,
+        )
+        fok &= np.array_equal(np.asarray(w_fast.child)[used], remap)
+        fok &= np.array_equal(
+            np.asarray(w_fast.child_min)[used][su],
+            w_cpu["child_min"][:kk0][su],
+        )
+        fok &= np.array_equal(
+            np.asarray(w_fast.child_max)[used][su],
+            w_cpu["child_max"][:kk0][su],
+        )
+        check("collapse_fast_matches_cpu_oracle", bool(fok))
         # compare only USED slots (< n_nodes; AABBs only where a child
         # exists) — unused padding holds whatever the kernel left there,
         # exactly like tests/test_collapse.py. Round 2's gate compared the
@@ -385,7 +486,7 @@ def main() -> None:
                     direction=rays.direction
                     * (1.0 + i.astype(jnp.float32) * 1e-7)
                 )
-                hit, ovf = raster_tpu._render_tpu_impl(
+                hit, _c, ovf = raster_tpu._render_tpu_impl(
                     rpack.tris_sorted, rpack.prim_ids, r2, tr,
                     w, h, 1024, 4096, 32, 64, False,
                 )
@@ -404,8 +505,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # 1920x1080 row — BASELINE.md's stated target resolution
+        if not os.environ.get("TPU_BVH_BENCH_FAST"):
+            wf, hf = 1920, 1080
+            rays_f = camera.generate_rays(cam, wf, hf)
+
+            def raster_1080(k):
+                def body(i, carry):
+                    acc, any_ovf = carry
+                    r2 = rays_f._replace(
+                        direction=rays_f.direction
+                        * (1.0 + i.astype(jnp.float32) * 1e-7)
+                    )
+                    hit, _c, ovf = raster_tpu._render_tpu_impl(
+                        rpack.tris_sorted, rpack.prim_ids, r2, tr,
+                        wf, hf, 1024, 4096, 32, 64, False,
+                    )
+                    return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
+
+                acc, any_ovf = lax.fori_loop(
+                    0, k, body, (0.0, jnp.zeros((), bool))
+                )
+                return acc + any_ovf.astype(jnp.float32)
+
+            ms_f = _slope_time(raster_1080, k_lo=1, k_hi=4, reps=3)
+            mrays_f = (wf * hf) / (ms_f * 1e-3) / 1e6
+            print(
+                f"render(raster): {ms_f:.3f} ms for {wf}x{hf} = "
+                f"{mrays_f:.1f} Mrays/s (target 200 @1080p)",
+                file=sys.stderr,
+            )
+
         # overflow + wavefront cross-check at the bench's exact pair budget
-        hit_k, ovf = raster_tpu._render_tpu_impl(
+        hit_k, _ck, ovf = raster_tpu._render_tpu_impl(
             rpack.tris_sorted, rpack.prim_ids, rays, tr,
             w, h, 1024, 4096, 32, 64, False,
         )
@@ -433,7 +565,7 @@ def main() -> None:
         print(f"raster bench failed: {e}", file=sys.stderr)
         check("raster_ran", False)
 
-    if os.environ.get("TPU_BVH_BENCH_ALL"):
+    if True:  # wavefront row runs by default (round-2 verdict item 5)
         try:
             from tpu_bvh.ops import traverse
             from tpu_bvh.utils import camera
@@ -472,7 +604,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    value = results.get(HEADLINE)
+    value = results.get(("sponza_like", HEADLINE))
     if value is None:
         print(json.dumps({"metric": "sponza_260k_lbvh_build_ms", "value": -1,
                           "unit": "ms", "vs_baseline": 0, "verified": False}))
@@ -483,7 +615,9 @@ def main() -> None:
                 "metric": "sponza_260k_singlepass_lbvh_build_ms",
                 "value": round(value, 4),
                 "unit": "ms",
-                "vs_baseline": round(BASELINES_MS[HEADLINE] / value, 4),
+                "vs_baseline": round(
+                    BASELINES_MS["sponza_like"][HEADLINE] / value, 4
+                ),
                 "verified": verified,
             }
         )

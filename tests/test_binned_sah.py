@@ -18,6 +18,7 @@ def test_correctness(rng, n):
     assert binned_sah.check_correctness(bvh, n)
 
 
+@pytest.mark.slow
 def test_quality_beats_lbvh(rng):
     """SAH builds should be at least as good as Morton LBVH on clumpy
     scenes."""

@@ -49,6 +49,7 @@ def test_collapse_reduces_cost(cornellbox_tris):
 
 
 @pytest.mark.parametrize("n", [3, 33, 500])
+@pytest.mark.slow
 def test_analytic_collapse_matches_oracle(rng, n):
     """The closed-form (queue-free) derivation reproduces the oracle
     byte-for-byte — it is the executable spec the blocked kernel targets."""

@@ -147,6 +147,7 @@ def test_extended_morton_is_30bit():
         assert (got < (1 << 30)).all()
 
 
+@pytest.mark.slow
 def test_extended_morton_orders_dominant_axis_first():
     """The extended code spends its leading bits on the dominant axis:
     on a stretched scene the code order must follow x for points that only

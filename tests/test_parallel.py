@@ -41,6 +41,7 @@ def test_sharded_extents(rng):
     assert np.allclose(np.asarray(hi), tris.reshape(-1, 3).max(axis=0))
 
 
+@pytest.mark.slow
 def test_sharded_traversal(rng):
     import jax.numpy as jnp
     from tpu_bvh.models import lbvh
@@ -60,6 +61,7 @@ def test_sharded_traversal(rng):
     assert np.allclose(np.asarray(hit_s.t), np.asarray(hit.t))
 
 
+@pytest.mark.slow
 def test_sharded_raster_render():
     import jax.numpy as jnp
     from tpu_bvh.models import lbvh
@@ -87,6 +89,7 @@ def test_sharded_raster_render():
     assert np.allclose(np.asarray(hit.t)[mask], np.asarray(hit_o.t)[mask], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_small_matches_vmapped_single_pass(rng):
     """The dense all-pairs small-capacity path must produce bit-identical
     trees to the vmapped generic single-pass builder."""

@@ -14,6 +14,7 @@ BUILDERS = {"ploc": ploc.build_ploc, "hploc": ploc.build_hploc}
 
 @pytest.mark.parametrize("name", list(BUILDERS))
 @pytest.mark.parametrize("n", [2, 3, 9, 64, 700])
+@pytest.mark.slow
 def test_invariants(rng, name, n):
     tris = random_tris(rng, n)
     bvh = BUILDERS[name](tris)
@@ -29,6 +30,7 @@ def test_cornellbox(cornellbox_tris, name):
     assert validate.check_root_aabb(bvh)
 
 
+@pytest.mark.slow
 def test_quality_at_least_lbvh(rng):
     """PLOC's agglomerative clustering should beat plain LBVH on SAH
     (the reference's tables: PLOC 21.9 vs LBVH 22.6 on bunny,
@@ -41,6 +43,7 @@ def test_quality_at_least_lbvh(rng):
     assert c_hploc <= c_lbvh * 1.1
 
 
+@pytest.mark.slow
 def test_duplicate_codes(rng):
     tris = np.repeat(random_tris(rng, 1), 33, axis=0)
     for name, build in BUILDERS.items():

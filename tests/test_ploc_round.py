@@ -27,6 +27,7 @@ def _mk_state(rng, size, nc):
 
 @pytest.mark.parametrize("size,nc", [(384, 384), (512, 300), (1024, 1000)])
 @pytest.mark.parametrize("shift", [32, 18])
+@pytest.mark.slow
 def test_round_matches_xla(monkeypatch, size, nc, shift):
     from tpu_bvh.ops.pallas import ploc_round as pr
     monkeypatch.setattr(pr, "_BLK", 256)  # multi-block stitch coverage

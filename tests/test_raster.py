@@ -65,6 +65,7 @@ def test_raster_cornellbox():
     _run_case(scenes.cornellbox(), "cornellbox")
 
 
+@pytest.mark.slow
 def test_raster_random_soup():
     rng = np.random.default_rng(7)
     base = rng.uniform(-1.5, 1.5, (300, 1, 3)).astype(np.float32)

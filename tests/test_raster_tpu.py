@@ -15,11 +15,14 @@ def _run(tris_np, scene_name, w=128, h=128, leaf=16):
     bvh = lbvh.build_two_pass(tris)
     packed = raster.pack_raster(bvh, tris, leaf_size=leaf)
 
-    hit_k, overflow = raster_tpu.render_raster_tpu(
+    hit_k, counts, overflow = raster_tpu.render_raster_tpu(
         packed, rays, tr, w, h, cand_cap=64, pair_cap=512, group=4,
         interpret=True,
     )
     assert not bool(overflow)
+    # heat-map signal: hitting rays must have swept at least one treelet
+    ck = np.asarray(counts)
+    assert (ck[np.asarray(hit_k.prim_idx) >= 0] > 0).all()
     hit_o, _ = traverse.traverse_bvh2(bvh, tris, rays, tr, variant="speculative")
 
     pk = np.asarray(hit_k.prim_idx)
@@ -62,7 +65,7 @@ def test_kernel_matches_xla_raster():
     bvh = lbvh.build_two_pass(tris)
     packed = raster.pack_raster(bvh, tris, leaf_size=8)
 
-    hit_k, ovf_k = raster_tpu.render_raster_tpu(
+    hit_k, _ck, ovf_k = raster_tpu.render_raster_tpu(
         packed, rays, tr, w, h, cand_cap=32, pair_cap=256, group=4,
         interpret=True,
     )

@@ -55,6 +55,7 @@ def test_scan32_matches_stack_oracle(kind, n):
 
 
 @pytest.mark.parametrize("kind", ["random", "dups", "all_equal"])
+@pytest.mark.slow
 def test_scan32_matches_production_core(kind):
     codes_np = _codes(kind, 3001, seed=3)
     codes = jnp.asarray(codes_np)

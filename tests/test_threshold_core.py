@@ -58,6 +58,7 @@ def test_payload_scan_matches_oracle():
     np.testing.assert_array_equal(np.asarray(np_k), np.asarray(np_o))
 
 
+@pytest.mark.slow
 def test_child_positions_reference_matches_topology():
     """Child scans reproduce the sort-based child links exactly."""
     import numpy as np
@@ -81,6 +82,7 @@ def test_child_positions_reference_matches_topology():
         np.testing.assert_array_equal(got_r, np.asarray(right[:m]))
 
 
+@pytest.mark.slow
 def test_child_kernels_match_reference():
     import numpy as np
     from tpu_bvh.ops.pallas import threshold_core as tc

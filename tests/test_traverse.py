@@ -51,6 +51,7 @@ def test_matches_cpu_oracle(setup, variant):
 
 
 @pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.slow
 def test_random_scene_vs_oracle(rng, variant):
     tris = jnp.asarray(random_tris(rng, 300, spread=5.0, size=1.0))
     bvh = lbvh.build_single_pass(tris)

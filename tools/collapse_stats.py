@@ -112,3 +112,68 @@ def main(n=262_000):
 if __name__ == "__main__":
     import sys
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 262_000)
+
+
+def exit_stats(n=262_000, R=32):
+    """Distance from each node to its first ancestor with range > R
+    (the 'C set' the blocked collapse freezes its local DP at)."""
+    import jax
+    import jax.numpy as jnp
+    tris = jnp.asarray(scenes.sponza_like(n))
+    bvh = jax.block_until_ready(lbvh.build_single_pass(tris))
+    n_int = bvh.n_internal
+    left = np.asarray(bvh.left); right = np.asarray(bvh.right)
+    root = int(bvh.root)
+    parent = np.full(2 * (n_int + 1) - 1, -1, np.int64)
+    src = np.arange(n_int)
+    parent[left[:n_int]] = src
+    parent[right[:n_int]] = src
+    # ranges via leaf-count DP (iterative, bottom-up by processing order)
+    import sys
+    sys.setrecursionlimit(10**6)
+    size = np.zeros(n_int, np.int64)
+    # postorder via stack
+    st = [(root, False)]
+    while st:
+        x, done = st.pop()
+        if x >= n_int:
+            continue
+        if done:
+            l, r = left[x], right[x]
+            sl = size[l] if l < n_int else 1
+            sr = size[r] if r < n_int else 1
+            size[x] = sl + sr
+        else:
+            st.append((x, True))
+            for c in (left[x], right[x]):
+                if c < n_int:
+                    st.append((int(c), False))
+    in_c = size > R  # range length (leaves) > R+1-ish; close enough
+    in_c[root] = True
+    # chain from each internal node to first C ancestor
+    hops_hist = []
+    dist = np.zeros(n_int, np.int64)
+    hops = np.zeros(n_int, np.int64)
+    cur = parent[:n_int].copy()
+    unresolved = (~in_c) & (cur >= 0)
+    exit_node = np.where(in_c, src, -1)
+    k = 0
+    live = ~in_c
+    exitp = np.full(n_int, -1, np.int64)
+    cur = src.copy()
+    while live.any() and k < 100:
+        nxt = parent[cur]
+        hit = live & (nxt >= 0) & in_c[np.clip(nxt, 0, n_int - 1)]
+        exitp[hit] = nxt[hit]
+        live = live & ~hit
+        cur = np.where(live, np.maximum(nxt, 0), cur)
+        hops[live] += 1
+        k += 1
+    d = np.abs(exitp - src)[exitp >= 0]
+    print(f"R={R}: |C|={in_c.sum()} ({in_c.mean()*100:.1f}%), "
+          f"max chain hops={hops.max()}")
+    for r in (16, 32, 64, 128, 256):
+        print(f"  |exit - i| <= {r}: {np.mean(d <= r)*100:.2f}%")
+    hh = hops[~in_c]
+    for hmax in (4, 8, 12, 16, 24, 32, 48):
+        print(f"  chain hops <= {hmax}: {np.mean(hh <= hmax)*100:.3f}%")

@@ -74,7 +74,7 @@ from tpu_bvh.ops import raster_tpu
 
 Wk = Hk = 128
 rays_k = camera.generate_rays(cam, Wk, Hk)
-hit_k, ovf_k = raster_tpu.render_raster_tpu(
+hit_k, _ck, ovf_k = raster_tpu.render_raster_tpu(
     packed, rays_k, t, Wk, Hk, cand_cap=64, pair_cap=512, group=4,
     interpret=True,
 )

@@ -167,10 +167,9 @@ def run(cfg: EngineConfig) -> dict:
             from .utils.platform import on_tpu
 
             if on_tpu():
-                hit, _ovf = raster_tpu.render_raster_tpu(
+                hit, counts, _ovf = raster_tpu.render_raster_tpu(
                     rpack, rays, tr, cfg.width, cfg.height
                 )
-                counts = jnp.zeros(cfg.width * cfg.height, jnp.uint32)
             else:
                 hit, counts, _ovf = raster_ops.render_raster_xla(
                     rpack, rays, tr, cfg.width, cfg.height

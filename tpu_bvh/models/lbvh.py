@@ -175,6 +175,23 @@ def build_single_pass(tris, use_extended: bool = True) -> Bvh2:
 
 
 @partial(jax.jit, static_argnames=("use_extended",))
+def build_single_pass_aux(tris, use_extended: bool = True):
+    """`build_single_pass` + the aux arrays the blocked fast collapse needs
+    (full parent i32[2n-1], first/last leaf ranges i32[n-1]) — all free
+    byproducts of the topology scans."""
+    codes, leaf_packed_t, leaf_prim = _sorted_leaves_from_tris(
+        tris, use_extended
+    )
+    left, right, parent, int_packed_t, root, first, last = (
+        radix_tree.apetrei_build_packed_full(codes, leaf_packed_t)
+    )
+    bvh = _finalize_packed(
+        leaf_packed_t, leaf_prim, left, right, int_packed_t, root
+    )
+    return bvh, parent, first, last
+
+
+@partial(jax.jit, static_argnames=("use_extended",))
 def build_single_pass_refs(refs: PrimRefs, use_extended: bool = True) -> Bvh2:
     codes, leaf_packed_t, leaf_prim = _sorted_leaves_packed(refs, use_extended)
     left, right, _parent, int_packed_t, root = radix_tree.apetrei_build_packed(

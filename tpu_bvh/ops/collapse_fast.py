@@ -1,0 +1,311 @@
+"""Fast BVH2 -> BVH4 collapse for boundary-layout (single-pass LBVH) trees.
+
+Same greedy algorithm as the reference's persistent-kernel collapse
+(`/root/reference/src/TwoPassLbvhKernel.h:237-337`; CPU oracle
+`Utility.cpp:540-611`): starting at the root, each wide node expands its
+largest-area internal child twice (<= 4 children); expanded ("absorbed")
+nodes disappear, the rest become wide children. The output TREE is
+identical to the oracle's — same wide-node set, same slots, same AABBs,
+same SAH — but numbered SPARSELY: wide node x keeps its bvh2 node index
+(unused slots have child_count == 0, the root keeps its index in
+`Bvh4.root`). The queue-ordered `collapse.collapse_bvh2_to_bvh4` remains
+the byte-exact-BFS-numbering path for arbitrary trees (PLOC/HPLOC);
+tests verify this path against the CPU oracle through the explicit
+wide-node isomorphism (`b2_node`).
+
+Three stages (see `pallas/collapse_block.py` for the locality argument):
+  1. XLA prep: areas, short flags, dense input rows.
+  2. XLA coarse stage: the ~4% of nodes with leaf-range length > S_LEN form
+     an ancestor-closed crown. Compact them (one single-key sort), run the
+     expansion simulation + 3-state transition pointer doubling on the
+     compacted arrays (gathers at coarse size are ~0.1 ms, not ~1.9 ms),
+     and derive states for coarse nodes AND their direct children (the
+     seeds that keep every in-kernel pull bounded).
+  3. Pallas blocked kernel: everything else for the ~96% short nodes.
+  4. Merge: scatter coarse rows into the kernel's dense outputs.
+
+The coarse capacity is static and SAFE: a node with leaf range > S_LEN has
+> S_LEN leaves, and a binary tree has < 2n/K nodes with >= K leaves each,
+so cap = 2n//(S_LEN+1) + 2 can never overflow.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Bvh2, Bvh4
+from .pallas.collapse_block import S_LEN, collapse_block_pallas
+
+I32 = jnp.int32
+_WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
+_BIGKEY = jnp.int32(2**30)
+
+
+def _f_bits(x):
+    return lax.bitcast_convert_type(x, I32)
+
+
+def _bits_f(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _apply(table, s):
+    return (table >> (2 * s)) & 3
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def collapse_lbvh_to_bvh4(
+    bvh: Bvh2, parent, first, last, interpret: bool = False
+) -> Bvh4:
+    """bvh: boundary-layout Bvh2 from `apetrei_build_packed_full` (node i at
+    boundary i with first_i <= i < last_i). parent: i32[2n-1] (leaf parents
+    included). first/last: i32[n-1] inclusive leaf ranges."""
+    n = bvh.n_leaves
+    m = bvh.n_internal
+    mm = bvh.n_nodes
+    assert m >= 1, "collapse needs at least 2 leaves"
+    cap = m  # bvh4 internal capacity AND the leaf child-id bias
+
+    pk = bvh.packed_t  # f32[6, mm] (min3, -max3)
+    left = bvh.left.astype(I32)
+    right = bvh.right.astype(I32)
+    ext = jnp.maximum(-pk[3:6] - pk[0:3], 0.0)
+    area = 2.0 * (ext[0] * ext[1] + ext[0] * ext[2] + ext[1] * ext[2])
+    area_bits = _f_bits(area)  # >= 0: i32 order == f32 order
+
+    rlen = last - first + 1
+    is_long = rlen > S_LEN  # i32[m]
+    idx_m = jnp.arange(m, dtype=I32)
+
+    # ---- coarse stage on the compacted long set ----
+    ccap = 2 * n // (S_LEN + 1) + 2
+    ccap = min(ccap, m)
+    key = jnp.where(is_long, idx_m, _BIGKEY)
+    (skey,) = lax.sort((key.astype(jnp.uint32),), num_keys=1)
+    cidx = jnp.minimum(skey[:ccap].astype(I32), m - 1)  # coarse ids, sorted
+    cvalid = skey[:ccap] < jnp.uint32(2**29)
+    n_coarse = jnp.sum(is_long.astype(I32))
+
+    # row table: one gather -> (area, left, right, parent, pk6) per node
+    prow = jnp.concatenate(
+        [
+            area_bits[None, :],
+            left[None, :],
+            right[None, :],
+            parent[None, :].astype(I32),
+            _f_bits(pk),
+            jnp.zeros((6, mm), I32),
+        ],
+        axis=0,
+    ).T  # [mm, 16]
+
+    def fetch(ids):
+        return prow[jnp.clip(ids, 0, mm - 1)]
+
+    trow = fetch(cidx)
+    c_left = trow[:, 1]
+    c_right = trow[:, 2]
+    c_parent = trow[:, 3]
+
+    # expansion simulation (oracle semantics) on [ccap] lanes
+    def acode(ids, rows):
+        return jnp.where((ids >= 0) & (ids < m), rows[:, 0], -1)
+
+    rowL = fetch(c_left)
+    rowR = fetch(c_right)
+    s_id = [c_left, c_right, jnp.full((ccap,), -1, I32),
+            jnp.full((ccap,), -1, I32)]
+    s_ac = [acode(c_left, rowL), acode(c_right, rowR),
+            jnp.full((ccap,), -1, I32), jnp.full((ccap,), -1, I32)]
+    s_lc = [rowL[:, 1], rowR[:, 1], s_id[2], s_id[2]]
+    s_rc = [rowL[:, 2], rowR[:, 2], s_id[2], s_id[2]]
+    s_ab = [rowL[:, 4:10], rowR[:, 4:10],
+            jnp.zeros((ccap, 6), I32), jnp.zeros((ccap, 6), I32)]
+
+    best1 = jnp.maximum(s_ac[0], s_ac[1])
+    pos1 = (s_ac[1] > s_ac[0]).astype(I32)
+    do1 = best1 > 0
+    e1 = jnp.where(pos1 == 1, s_id[1], s_id[0])
+    c1l = jnp.where(pos1 == 1, s_lc[1], s_lc[0])
+    c1r = jnp.where(pos1 == 1, s_rc[1], s_rc[0])
+    rowCL = fetch(c1l)
+    rowCR = fetch(c1r)
+    for k in range(2):
+        mk = do1 & (pos1 == k)
+        s_id[k] = jnp.where(mk, c1l, s_id[k])
+        s_ac[k] = jnp.where(mk, acode(c1l, rowCL), s_ac[k])
+        s_lc[k] = jnp.where(mk, rowCL[:, 1], s_lc[k])
+        s_rc[k] = jnp.where(mk, rowCL[:, 2], s_rc[k])
+        s_ab[k] = jnp.where(mk[:, None], rowCL[:, 4:10], s_ab[k])
+    s_id[2] = jnp.where(do1, c1r, s_id[2])
+    s_ac[2] = jnp.where(do1, acode(c1r, rowCR), s_ac[2])
+    s_lc[2] = jnp.where(do1, rowCR[:, 1], s_lc[2])
+    s_rc[2] = jnp.where(do1, rowCR[:, 2], s_rc[2])
+    s_ab[2] = jnp.where(do1[:, None], rowCR[:, 4:10], s_ab[2])
+    count1 = 2 + do1.astype(I32)
+
+    best2 = jnp.maximum(jnp.maximum(s_ac[0], s_ac[1]), s_ac[2])
+    pos2 = jnp.where(
+        s_ac[0] == best2, 0, jnp.where(s_ac[1] == best2, 1, 2)
+    ).astype(I32)
+    do2 = best2 > 0
+    pick = lambda vs: jnp.where(
+        pos2 == 0, vs[0], jnp.where(pos2 == 1, vs[1], vs[2])
+    )
+    e2 = pick(s_id)
+    c2l = pick(s_lc)
+    c2r = pick(s_rc)
+    rowC2L = fetch(c2l)
+    rowC2R = fetch(c2r)
+    for k in range(3):
+        mk = do2 & (pos2 == k)
+        s_id[k] = jnp.where(mk, c2l, s_id[k])
+        s_ab[k] = jnp.where(mk[:, None], rowC2L[:, 4:10], s_ab[k])
+    for k in range(2, 4):
+        mk = do2 & (count1 == k)
+        s_id[k] = jnp.where(mk, c2r, s_id[k])
+        s_ab[k] = jnp.where(mk[:, None], rowC2R[:, 4:10], s_ab[k])
+    count2 = count1 + do2.astype(I32)
+    e1_c = jnp.where(do1, e1, -1)
+    e2_c = jnp.where(do2, e2, -1)
+
+    # coarse states: pointer doubling in compacted space (parents coarse)
+    rank = jnp.cumsum(is_long.astype(I32)) - is_long.astype(I32)
+    p_rank = rank[jnp.clip(c_parent, 0, m - 1)]
+    p_rank = jnp.where(c_parent >= 0, p_rank, -1)
+    lanes_c = jnp.arange(ccap, dtype=I32)
+    ps = jnp.clip(p_rank, 0, ccap - 1)
+    e1_at_p = e1_c[ps]
+    e2_at_p = e2_c[ps]
+    g_rank = p_rank[ps]
+    e2_at_g = e2_c[jnp.clip(g_rank, 0, ccap - 1)]
+    t_wide = jnp.where(
+        cidx == e1_at_p, _E1, jnp.where(cidx == e2_at_p, _E2, _WIDE)
+    )
+    t_e1 = jnp.where(cidx == e2_at_g, _E2, _WIDE)
+    fenc = t_wide | (t_e1 << 2)
+    rootless = (p_rank < 0) | ~cvalid
+    fenc = jnp.where(rootless, 0, fenc)
+    ptr = jnp.where(rootless, lanes_c, ps)
+    packed = ptr * 64 + fenc
+    for _ in range(6):
+        pulled = packed[jnp.clip(packed >> 6, 0, ccap - 1)]
+        fp = pulled & 63
+        f = packed & 63
+        nf = (
+            _apply(f, _apply(fp, 0))
+            | (_apply(f, _apply(fp, 1)) << 2)
+            | (_apply(f, _apply(fp, 2)) << 4)
+        )
+        packed = (pulled & ~jnp.int32(63)) | nf
+    state_c = packed & 3
+
+    # children-of-coarse states (seeds for the kernel)
+    def child_state(cid):
+        return jnp.where(
+            state_c == _WIDE,
+            jnp.where(cid == e1_c, _E1, jnp.where(cid == e2_c, _E2, _WIDE)),
+            jnp.where(
+                state_c == _E1,
+                jnp.where(cid == e2_at_p, _E2, _WIDE),
+                _WIDE,
+            ),
+        )
+
+    state_l = child_state(c_left)
+    state_r = child_state(c_right)
+
+    # ---- dense seed / e2 arrays for the kernel ----
+    oob = jnp.int32(mm + 5)
+    tgt_c = jnp.where(cvalid, cidx, oob)
+    seed = jnp.full((m,), _UNK, I32).at[tgt_c].set(state_c, mode="drop")
+    tl = jnp.where(cvalid & (c_left >= 0) & (c_left < m), c_left, oob)
+    tr = jnp.where(cvalid & (c_right >= 0) & (c_right < m), c_right, oob)
+    seed = seed.at[tl].set(state_l, mode="drop")
+    seed = seed.at[tr].set(state_r, mode="drop")
+    e2_dense = jnp.full((m,), -1, I32).at[tgt_c].set(e2_c, mode="drop")
+
+    # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
+    W = n
+    padm = jnp.full((1, W - m), -1, I32)
+    row = lambda v: jnp.concatenate([v[None, :], padm], axis=1)
+    meta = jnp.concatenate(
+        [
+            jnp.concatenate([area_bits[None, :m], jnp.zeros((1, W - m), I32)], 1),
+            row(left[:m]),
+            row(right[:m]),
+            row(parent[:m].astype(I32)),
+            jnp.concatenate([seed[None, :], jnp.full((1, W - m), _UNK, I32)], 1),
+            jnp.concatenate(
+                [(~is_long).astype(I32)[None, :], jnp.zeros((1, W - m), I32)], 1
+            ),
+            jnp.concatenate([e2_dense[None, :], padm], 1),
+            jnp.zeros((1, W), I32),
+        ],
+        axis=0,
+    )
+    node8 = jnp.concatenate(
+        [_f_bits(pk[:, :m]), jnp.zeros((2, m), I32)], axis=0
+    )
+    node8 = jnp.concatenate([node8, jnp.zeros((8, W - m), I32)], axis=1)
+    leaf8 = jnp.concatenate(
+        [_f_bits(pk[:, m:]), jnp.zeros((2, n), I32)], axis=0
+    )
+
+    outm, outa = collapse_block_pallas(
+        meta, node8, leaf8, m, interpret=interpret
+    )
+
+    # ---- merge kernel outputs with coarse emission ----
+    child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)  # [m, 4]
+    count = outm[4, :m]
+    parent_w = outm[6, :m]
+    leaf_parent = outm[7, :W]
+
+    slots_c = jnp.stack(s_id, axis=1)  # [ccap, 4]
+    slots_c = jnp.where(
+        jnp.arange(4, dtype=I32)[None, :] < count2[:, None], slots_c, -1
+    )
+    is_wide_c = cvalid & (state_c == _WIDE)
+    tgt_w = jnp.where(is_wide_c, cidx, oob)
+    child = child.at[tgt_w].set(slots_c, mode="drop")
+    count = count.at[tgt_w].set(count2, mode="drop")
+    # nodes claimed by a coarse wide parent (internal slots / leaf slots)
+    flat_slots = slots_c.reshape(-1)
+    flat_owner = jnp.repeat(tgt_w, 4)
+    int_t = jnp.where(
+        (flat_owner < oob) & (flat_slots >= 0) & (flat_slots < m),
+        flat_slots, oob,
+    )
+    parent_w = parent_w.at[int_t].set(flat_owner, mode="drop")
+    leaf_t = jnp.where(
+        (flat_owner < oob) & (flat_slots >= m), flat_slots - m, oob
+    )
+    leaf_parent = leaf_parent.at[leaf_t].set(flat_owner, mode="drop")
+
+    # slot AABBs: kernel rows -> [m, 4, 3] cmin / cmax, coarse scattered in
+    ka = jnp.stack(
+        [a[0:6, :m] for a in outa], axis=0
+    )  # [4, 6, m] (min3, -max3 bits)
+    ka = _bits_f(ka)
+    cmin = ka[:, 0:3, :].transpose(2, 0, 1)  # [m, 4, 3]
+    cmax = -ka[:, 3:6, :].transpose(2, 0, 1)
+    ab_c = _bits_f(jnp.stack(s_ab, axis=1))  # [ccap, 4, 6]
+    cmin = cmin.at[tgt_w].set(ab_c[:, :, 0:3], mode="drop")
+    cmax = cmax.at[tgt_w].set(-ab_c[:, :, 3:6], mode="drop")
+
+    n_nodes = jnp.sum((count > 0).astype(I32))
+    return Bvh4(
+        child_min=cmin,
+        child_max=cmax,
+        child=child,
+        parent=parent_w,
+        child_count=count,
+        n_nodes=n_nodes,
+        leaf_prim=left[m:],
+        leaf_parent=leaf_parent[:n],
+        root=bvh.root.astype(I32),
+    )

@@ -1,0 +1,389 @@
+"""Blocked Pallas kernel for the fast BVH2->BVH4 collapse (LBVH trees).
+
+Implements the local phases of the analytic collapse derivation
+(`ops/collapse_analytic.py`, the executable spec) for SHORT nodes — those
+whose leaf range length is <= S_LEN — exploiting the boundary (split
+position) layout of the single-pass LBVH: node i lives at boundary i inside
+its own leaf range [first_i, last_i], so
+
+  * every descendant boundary of a short node is within +-(S_LEN-2) lanes,
+  * every leaf of its range is within +-(S_LEN-1) lanes,
+  * its parent boundary is adjacent to its range: within +-S_LEN lanes,
+  * all its short ancestors contain boundary i: within +-(S_LEN-2) lanes.
+
+Everything the reference's persistent task-queue kernel
+(`/root/reference/src/TwoPassLbvhKernel.h:237-337`) discovers by chasing
+global pointers through HBM therefore becomes bounded-offset shift sweeps
+over VMEM-resident blocks (a random gather costs ~7 ns/row on v5e — ~1.9 ms
+per full-array access — while a [8, blk] shift+select is ~7 ns total).
+
+Phases, all in one kernel pass:
+  1. expansion tables: simulate the two largest-area-child expansions for
+     every short node (value-stacked pulls: targets x values share one
+     [8, s] compare+select per offset), byte-exact oracle semantics
+     (first-max argmax, strict area > 0, f32 areas compared as i32 bits).
+  2. state resolution: every node is WIDE / E1 (absorbed as some wide
+     ancestor's first expansion) / E2 (second). 3-state transition tables
+     compose along parent chains by pointer doubling; chains terminate at
+     XLA-seeded lanes (coarse nodes + children of coarse nodes), so all
+     pulls stay within +-64 lanes. The doubling runs STRIP-FOLDED: the
+     packed (ptr, table) vector is resliced into 8 overlapping sublane
+     strips so each trip is ~6 vregs instead of ~36.
+  3. ownership: wide node X's final slots claim their nodes/leaves; each
+     node finds its wide parent by scanning +-S_LEN for a claiming short
+     wide X (coarse claims are scattered in by the XLA side afterwards).
+  4. slot AABB emission: one +-S_LEN pull of the node/leaf packed rows at
+     the four final slot ids.
+
+Seeds, coarse expansion tables, and coarse emission come from
+`ops/collapse_fast.py` (the coarse set is ancestor-closed and ~4% of nodes
+at S_LEN=33, measured on sponza-scale Morton trees; max local chain 10-12
+hops, guaranteed <= S_LEN, covered by 6 doubling trips).
+
+Input layout (lane-major i32, lanes = boundaries; lane j also carries leaf j):
+  meta [8, W]: 0 area bits (f32>=0, i32-comparable), 1 left, 2 right,
+               3 parent, 4 seed state (0/1/2; 3 = unseeded), 5 short flag,
+               6 coarse e2 (dense; -1 elsewhere), 7 unused
+  node8 [8, W]: rows 0..5 = node packed (min xyz, -max xyz) f32 bits
+  leaf8 [8, W]: rows 0..5 = leaf packed, leaf j at column j
+
+Outputs (i32):
+  outm [8, W]: 0..3 final slot ids (bvh4 child encoding: internal id < m,
+               leaf slot m + j; -1 empty / not a short wide node),
+               4 count (0 unless short wide), 5 state (0/1/2),
+               6 wide parent claim (-1 none), 7 leaf claim for leaf lane j
+  outa0..3 [8, W]: rows 0..5 slot-k packed bits (valid where emitted)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+
+S_LEN = 33  # short node: leaf-range length <= S_LEN
+import os
+
+_H = 256  # block halo; >= ownership(33) + state reach (64 + 100)
+# blk + 2*_H -> 128-aligned sublane strips; sized so the kernel's live
+# [8, s] intermediates fit VMEM (tunable for experiments)
+_BLK = int(os.environ.get("TBVH_COLLAPSE_BLK", "3584"))
+_DW = S_LEN  # child/leaf pull window
+_NOMATCH = -(2**30)  # label no target can equal
+
+_WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
+_CONST_TBL = 0b010101  # multiplier: state s -> table (s, s, s)
+_HS = 128  # strip halo: >= doubling chain reach (64 pull + 64 dependency)
+
+
+def _sh(t, d):
+    """t[:, i + d] with wraparound (wrapped columns never match labels)."""
+    if d == 0:
+        return t
+    return pltpu.roll(t, (t.shape[1] - d) % t.shape[1], axis=1)
+
+
+def _strip_starts(s):
+    """Static view starts for 8 overlapping sublane strips over [0, s).
+    Strip r owns columns [r*c, (r+1)*c) and views [start, start + c + 2h);
+    edge strips clamp the view into range (their un-viewable columns are
+    block halo, never block-center output)."""
+    c = s // 8
+    w = c + 2 * _HS
+    return [min(max(r * c - _HS, 0), s - w) for r in range(8)], c, w
+
+
+def _strip_fold(v, s):
+    """[1, s] -> [8, c + 2h] overlapping sublane strips."""
+    starts, _, w = _strip_starts(s)
+    rows = [v[0:1, st : st + w] for st in starts]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _strip_unfold(t, s):
+    """Inverse of `_strip_fold` for each strip's owned columns. Each strip
+    row is sublane-rolled to row 0 first: Mosaic cannot lane-concat pieces
+    whose sublane offsets differ."""
+    starts, c, _ = _strip_starts(s)
+    rows = []
+    for r, st in enumerate(starts):
+        tr = pltpu.roll(t, (8 - r) % 8, axis=0) if r else t
+        rows.append(tr[0:1, r * c - st : r * c - st + c])
+    return jnp.concatenate(rows, axis=1)
+
+
+# perf-isolation bitmask (tools/ only): 1 sweeps, 2 aabb, 4 own, 8 states
+_PARTS = int(os.environ.get("TBVH_COLLAPSE_PARTS", "15"))
+
+
+def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
+            leaf_l, leaf_m, leaf_r, outm, outa0, outa1, outa2, outa3,
+            *, blk: int, m: int, n_trips: int):
+    cat = lambda a, b, c: jnp.concatenate(
+        [a[:, blk - _H :], b[:], c[:, :_H]], axis=1
+    )
+    meta = cat(meta_l, meta_m, meta_r)  # i32[8, s]
+    node8 = cat(node_l, node_m, node_r)
+    leaf8 = cat(leaf_l, leaf_m, leaf_r)
+    s = meta.shape[1]
+
+    base = pl.program_id(0) * blk - _H
+    lane = base + lax.broadcasted_iota(I32, (1, s), 1)
+    area = meta[0:1, :]
+    left = meta[1:2, :]
+    right = meta[2:3, :]
+    parent = meta[3:4, :]
+    seed = meta[4:5, :]
+    shortf = meta[5:6, :]
+    e2in = meta[6:7, :]
+    is_int = (lane >= 0) & (lane < m)
+    shortv = (shortf == 1) & is_int
+
+    neg1 = jnp.full((1, s), -1, I32)
+    zeros1 = jnp.zeros((1, s), I32)
+
+    # ---- sweep 1: (area, left, right) at targets l, r (value-stacked) ----
+    def meta_sweep(t_a, t_b):
+        """Pull rows (area,left,right) of meta at internal targets t_a, t_b.
+        Returns [8, s]: rows 0..2 = values at t_a, rows 3..5 at t_b."""
+        ta = jnp.where((t_a >= 0) & (t_a < m), t_a, _NOMATCH)
+        tb = jnp.where((t_b >= 0) & (t_b < m), t_b, _NOMATCH)
+        t8 = jnp.concatenate(
+            [ta, ta, ta, tb, tb, tb, jnp.full((2, s), _NOMATCH, I32)], axis=0
+        )
+        v8 = jnp.concatenate(
+            [meta[0:3, :], meta[0:3, :], jnp.zeros((2, s), I32)], axis=0
+        )
+        acc = jnp.full((8, s), -1, I32)
+        for d in range(-_DW, _DW + 1):
+            acc = jnp.where(t8 == lane + d, _sh(v8, d), acc)
+        return acc
+
+    if not (_PARTS & 1):
+        z1 = jnp.zeros((1, s), I32)
+        z8 = jnp.zeros((8, s), I32)
+        outm[:] = jnp.concatenate([lane + meta[0:1], meta[1:2], meta[2:3],
+                                   meta[3:4], meta[4:5], meta[5:6],
+                                   meta[6:7], meta[7:8]], 0)[:, _H:_H+blk]
+        for ref in (outa0, outa1, outa2, outa3):
+            ref[:] = (node8 + leaf8)[:, _H:_H+blk]
+        return
+
+    acc1 = meta_sweep(left, right)
+    aL, lL, rL = acc1[0:1], acc1[1:2], acc1[2:3]
+    aR, lR, rR = acc1[3:4], acc1[4:5], acc1[5:6]
+
+    # slot tuples: (id, area code, lch, rch); area code -1 for leaf slots
+    def acode(t_id, a):
+        return jnp.where((t_id >= 0) & (t_id < m), a, -1)
+
+    s_id = [left, right, neg1, neg1]
+    s_ac = [acode(left, aL), acode(right, aR), neg1, neg1]
+    s_lc = [lL, lR, neg1, neg1]
+    s_rc = [rL, rR, neg1, neg1]
+
+    # ---- expansion step 1 (oracle semantics: first max, strict > 0) ----
+    best1 = jnp.maximum(s_ac[0], s_ac[1])
+    pos1 = (s_ac[1] > s_ac[0]).astype(I32)  # first max wins ties
+    do1 = (best1 > 0) & shortv
+    e1 = jnp.where(pos1 == 1, s_id[1], s_id[0])
+    c1l = jnp.where(pos1 == 1, s_lc[1], s_lc[0])
+    c1r = jnp.where(pos1 == 1, s_rc[1], s_rc[0])
+
+    # ---- sweep 2: (area, left, right) at c1l, c1r ----
+    acc2 = meta_sweep(jnp.where(do1, c1l, _NOMATCH),
+                      jnp.where(do1, c1r, _NOMATCH))
+    aCL, lCL, rCL = acc2[0:1], acc2[1:2], acc2[2:3]
+    aCR, lCR, rCR = acc2[3:4], acc2[4:5], acc2[5:6]
+
+    def upd(cur, new, mask):
+        return [jnp.where(mask, nv, cv) for cv, nv in zip(cur, new)]
+
+    # apply step 1: slot[pos1] <- c1l, slot[2] <- c1r
+    for k in range(2):
+        mk = do1 & (pos1 == k)
+        s_id[k], s_ac[k], s_lc[k], s_rc[k] = upd(
+            (s_id[k], s_ac[k], s_lc[k], s_rc[k]),
+            (c1l, acode(c1l, aCL), lCL, rCL), mk)
+    s_id[2], s_ac[2], s_lc[2], s_rc[2] = upd(
+        (s_id[2], s_ac[2], s_lc[2], s_rc[2]),
+        (c1r, acode(c1r, aCR), lCR, rCR), do1)
+    count1 = 2 + do1.astype(I32)
+
+    # ---- expansion step 2 over slots 0..2 in slot order ----
+    best2 = jnp.maximum(jnp.maximum(s_ac[0], s_ac[1]), s_ac[2])
+    pos2 = jnp.where(
+        s_ac[0] == best2, 0, jnp.where(s_ac[1] == best2, 1, 2)
+    ).astype(I32)
+    do2 = (best2 > 0) & shortv
+    pick = lambda vs: jnp.where(
+        pos2 == 0, vs[0], jnp.where(pos2 == 1, vs[1], vs[2])
+    )
+    e2 = pick(s_id)
+    c2l = pick(s_lc)
+    c2r = pick(s_rc)
+
+    # apply step 2: slot[pos2] <- c2l, slot[count1] <- c2r
+    for k in range(3):
+        mk = do2 & (pos2 == k)
+        s_id[k] = jnp.where(mk, c2l, s_id[k])
+    for k in range(2, 4):
+        mk = do2 & (count1 == k)
+        s_id[k] = jnp.where(mk, c2r, s_id[k])
+    count2 = count1 + do2.astype(I32)
+    e1_out = jnp.where(do1, e1, -1)
+    e2_out = jnp.where(do2, e2, -1)
+
+    # ---- states: transition tables + strip-folded pointer doubling ----
+    # table per unseeded lane from (e1, e2) of parent and e2 of grandparent
+    do_states = bool(_PARTS & 8)
+    t8p = jnp.concatenate(
+        [parent, parent, parent, jnp.full((5, s), _NOMATCH, I32)], axis=0
+    )
+    v8p = jnp.concatenate(
+        [e1_out, e2_out, parent, jnp.zeros((5, s), I32)], axis=0
+    )
+    accp = jnp.full((8, s), -1, I32)
+    for d in (range(-S_LEN - 1, S_LEN + 2) if do_states else ()):
+        accp = jnp.where(t8p == lane + d, _sh(v8p, d), accp)
+    e1p, e2p, gpos = accp[0:1], accp[1:2], accp[2:3]
+
+    # e2 at grandparent (g may be coarse: e2_full has XLA-filled coarse rows)
+    e2_full = jnp.where(shortv, e2_out, e2in)
+    e2g = jnp.full((1, s), -1, I32)
+    gt = jnp.where(gpos >= 0, gpos, _NOMATCH)
+    for d in (range(-2 * S_LEN - 1, 2 * S_LEN + 2) if do_states else ()):
+        e2g = jnp.where(gt == lane + d, _sh(e2_full, d), e2g)
+
+    t_wide = jnp.where(lane == e1p, _E1, jnp.where(lane == e2p, _E2, _WIDE))
+    t_e1 = jnp.where(lane == e2g, _E2, _WIDE)
+    fenc = t_wide | (t_e1 << 2)  # f(E2) = WIDE = 0 bits
+
+    seeded = (seed <= 2) | (parent < 0)
+    seed_eff = jnp.where(seed <= 2, seed, _WIDE)
+    fenc = jnp.where(seeded, seed_eff * _CONST_TBL, fenc)
+    safe_lane = jnp.clip(lane, 0, m - 1)
+    ptr = jnp.where(seeded, safe_lane, jnp.where(is_int, parent, safe_lane))
+
+    # strip-folded doubling: packed = ptr * 64 | fenc (ptr < 2^22)
+    packed = ptr * 64 + fenc
+    pk8 = _strip_fold(packed, s)
+    slane = _strip_fold(lane, s)
+
+    def apply_tbl(tbl, x):
+        return (tbl >> (2 * x)) & 3
+
+    for _ in range(n_trips if do_states else 0):
+        tptr = pk8 >> 6  # pulls: |ptr - lane| <= 64 by construction
+        pulled = jnp.full_like(pk8, -1)
+        for d in range(-64, 65):
+            pulled = jnp.where(tptr == slane + d, _sh(pk8, d), pulled)
+        # unmatched (shouldn't happen for in-range lanes): keep self
+        pulled = jnp.where(pulled < 0, pk8, pulled)
+        fp = pulled & 63
+        f = pk8 & 63
+        nf = (
+            apply_tbl(f, apply_tbl(fp, 0))
+            | (apply_tbl(f, apply_tbl(fp, 1)) << 2)
+            | (apply_tbl(f, apply_tbl(fp, 2)) << 4)
+        )
+        pk8 = (pulled & ~jnp.int32(63)) | nf
+    packed = _strip_unfold(pk8, s)
+    state = packed & 3  # = f(WIDE at the chain's seed)
+    is_wide = (state == _WIDE) & shortv
+
+    # ---- ownership: who claims lane i (internal) / leaf lane j ----
+    # stacked targets: rows 0..3 internal slot ids, rows 4..7 leaf lanes
+    own_t = jnp.concatenate(
+        [jnp.where((sid >= 0) & (sid < m), sid, _NOMATCH) for sid in s_id]
+        + [jnp.where(sid >= m, sid - m, _NOMATCH) for sid in s_id],
+        axis=0,
+    )
+    own_t = jnp.where(is_wide, own_t, _NOMATCH)
+    claim_int = jnp.full((1, s), -1, I32)
+    claim_leaf = jnp.full((1, s), -1, I32)
+    for d in (range(-_DW, _DW + 1) if (_PARTS & 4) else ()):
+        tm = _sh(own_t, d)  # slot targets of node lane+d
+        hit_i = jnp.any(tm[0:4, :] == lane, axis=0, keepdims=True)
+        hit_l = jnp.any(tm[4:8, :] == lane, axis=0, keepdims=True)
+        claim_int = jnp.where(hit_i, lane + d, claim_int)
+        claim_leaf = jnp.where(hit_l, lane + d, claim_leaf)
+
+    # ---- slot AABB pull at the final slot ids ----
+    ab = [jnp.zeros((8, s), I32) for _ in range(4)]
+    do_aabb = bool(_PARTS & 2)
+    ti = jnp.concatenate(
+        [jnp.where((sid >= 0) & (sid < m), sid, _NOMATCH) for sid in s_id]
+        + [jnp.where(sid >= m, sid - m, _NOMATCH) for sid in s_id],
+        axis=0,
+    )
+    for d in (range(-_DW, _DW + 1) if do_aabb else ()):
+        match = ti == lane + d  # [8, s]: rows 0..3 node hits, 4..7 leaf
+        nT = _sh(node8, d)
+        lT = _sh(leaf8, d)
+        for k in range(4):
+            ab[k] = jnp.where(match[k : k + 1, :], nT, ab[k])
+            ab[k] = jnp.where(match[k + 4 : k + 5, :], lT, ab[k])
+
+    # ---- outputs ----
+    emit = is_wide
+    slot_rows = [jnp.where(emit, sid, -1) for sid in s_id]
+    outm_full = jnp.concatenate(
+        slot_rows
+        + [
+            jnp.where(emit, count2, 0),
+            jnp.where(is_int, state, _UNK),
+            claim_int,
+            claim_leaf,
+        ],
+        axis=0,
+    )
+    outm[:] = outm_full[:, _H : _H + blk]
+    for k, ref in enumerate((outa0, outa1, outa2, outa3)):
+        ref[:] = jnp.where(emit, ab[k], 0)[:, _H : _H + blk]
+
+
+def collapse_block_pallas(meta, node8, leaf8, m: int, n_trips: int = 6,
+                          interpret: bool = False):
+    """meta/node8/leaf8: i32[8, W] (layout in module doc; W >= m + 1).
+    Returns (outm i32[8, W], outa list of 4 i32[8, W])."""
+    W = meta.shape[1]
+    blk = min(_BLK, -(-W // 256) * 256)
+    blk = max(blk, 512)
+    pad = (-W) % blk
+    if pad:
+        padm = jnp.zeros((8, pad), I32)
+        padm = padm.at[1:4].set(-1)  # left/right/parent invalid
+        padm = padm.at[4].set(_UNK)
+        padm = padm.at[6].set(-1)
+        meta = jnp.concatenate([meta, padm], axis=1)
+        node8 = jnp.concatenate([node8, jnp.zeros((8, pad), I32)], axis=1)
+        leaf8 = jnp.concatenate([leaf8, jnp.zeros((8, pad), I32)], axis=1)
+    Wp = meta.shape[1]
+    grid = Wp // blk
+    clamp = lambda i: jnp.clip(i, 0, grid - 1)
+    specs = [
+        pl.BlockSpec((8, blk), lambda i: (0, clamp(i - 1))),
+        pl.BlockSpec((8, blk), lambda i: (0, i)),
+        pl.BlockSpec((8, blk), lambda i: (0, clamp(i + 1))),
+    ]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    outm, a0, a1, a2, a3 = pl.pallas_call(
+        functools.partial(_kernel, blk=blk, m=m, n_trips=n_trips),
+        grid=(grid,),
+        in_specs=specs * 3,
+        out_specs=[pl.BlockSpec((8, blk), lambda i: (0, i))] * 5,
+        out_shape=[jax.ShapeDtypeStruct((8, Wp), I32)] * 5,
+        interpret=interpret,
+        **kwargs,
+    )(meta, meta, meta, node8, node8, node8, leaf8, leaf8, leaf8)
+    return outm[:, :W], [a0[:, :W], a1[:, :W], a2[:, :W], a3[:, :W]]

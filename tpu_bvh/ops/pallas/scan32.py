@@ -109,7 +109,13 @@ def _fwd_kernel(dlt_ref, psvp_ref, psvv_ref, lc_ref, cx_ref, cy_ref):
     )
     cx_ref[:] = x[:, c - 1 : c]
     cy_ref[:] = y_tot[:, c - 1 : c]
+    psv_pos, psv_val, lc = _fwd_correct(dlt, g, ex, ey, subl)
+    psvp_ref[:] = psv_pos
+    psvv_ref[:] = psv_val
+    lc_ref[:] = lc
 
+
+def _fwd_correct(dlt, g, ex, ey, subl):
     # selections at each position's own lane + the lane-30 row
     selx = jnp.where(dlt == subl, ex, -_BIG)
     psv_packed = jnp.max(selx, axis=0, keepdims=True)
@@ -143,10 +149,7 @@ def _fwd_kernel(dlt_ref, psvp_ref, psvv_ref, lc_ref, cx_ref, cy_ref):
     jstar = (B & ~(hb - 1)) - 1
     lc_scan = jnp.where(lc_packed == _BIG, -1, lc_packed & _POSMASK)
     lc = jnp.where(empty, -1, jnp.where(all_tie, jstar, lc_scan))
-
-    psvp_ref[:] = psv_pos
-    psvv_ref[:] = psv_val
-    lc_ref[:] = lc
+    return psv_pos, psv_val, lc
 
 
 def _rev_kernel(dlt_ref, nsvp_ref, nsvv_ref, rc_ref, cx_ref, cy_ref, *, m: int):
@@ -169,7 +172,13 @@ def _rev_kernel(dlt_ref, nsvp_ref, nsvv_ref, rc_ref, cx_ref, cy_ref, *, m: int):
     )
     cx_ref[:] = x[:, c - 1 : c]
     cy_ref[:] = y_tot[:, c - 1 : c]
+    nsv_pos, nsv_val, rc = _rev_correct(dlt, g, ex, ey, subl, m)
+    nsvp_ref[:] = nsv_pos
+    nsvv_ref[:] = nsv_val
+    rc_ref[:] = rc
 
+
+def _rev_correct(dlt, g, ex, ey, subl, m: int):
     selx = jnp.where(dlt == subl, ex, -_BIG)
     nsv_packed = jnp.max(selx, axis=0, keepdims=True)
     sely = jnp.where(dlt == subl, ey, 0)
@@ -203,7 +212,46 @@ def _rev_kernel(dlt_ref, nsvp_ref, nsvv_ref, rc_ref, cx_ref, cy_ref, *, m: int):
     jstar = (B & ~(hb - 1)) - 1
     rc_scan = jnp.where(rc_packed == _BIG, -1, m1 - (rc_packed & _POSMASK))
     rc = jnp.where(empty, -1, jnp.where(all_tie, jstar, rc_scan))
+    return nsv_pos, nsv_val, rc
 
+
+def _both_kernel(dltf_ref, dltr_ref, psvp_ref, psvv_ref, lc_ref,
+                 nsvp_ref, nsvv_ref, rc_ref,
+                 cxf_ref, cyf_ref, cxr_ref, cyr_ref, *, m: int):
+    """Fused forward + flipped-forward pass: one kernel, one grid sweep,
+    half the pass overhead of running `_fwd_kernel` then `_rev_kernel`."""
+    i = pl.program_id(0)
+    c = dltf_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        cxf_ref[:] = jnp.full_like(cxf_ref, -1)
+        cyf_ref[:] = jnp.full_like(cyf_ref, _BIG)
+        cxr_ref[:] = jnp.full_like(cxr_ref, -1)
+        cyr_ref[:] = jnp.full_like(cyr_ref, _BIG)
+
+    lanes = lax.broadcasted_iota(jnp.int32, (V, c), 1)
+    subl = lax.broadcasted_iota(jnp.int32, (V, c), 0)
+    g = i * c + lanes
+
+    dltf = dltf_ref[0:1, :]
+    x, y_tot, ex, ey = _scan_pair(
+        dltf, lanes, subl, g, cxf_ref[:, 0:1], cyf_ref[:, 0:1], None
+    )
+    cxf_ref[:] = x[:, c - 1 : c]
+    cyf_ref[:] = y_tot[:, c - 1 : c]
+    psv_pos, psv_val, lc = _fwd_correct(dltf, g, ex, ey, subl)
+    psvp_ref[:] = psv_pos
+    psvv_ref[:] = psv_val
+    lc_ref[:] = lc
+
+    dltr = dltr_ref[0:1, :]
+    x, y_tot, ex, ey = _scan_pair(
+        dltr, lanes, subl, g, cxr_ref[:, 0:1], cyr_ref[:, 0:1], None
+    )
+    cxr_ref[:] = x[:, c - 1 : c]
+    cyr_ref[:] = y_tot[:, c - 1 : c]
+    nsv_pos, nsv_val, rc = _rev_correct(dltr, g, ex, ey, subl, m)
     nsvp_ref[:] = nsv_pos
     nsvv_ref[:] = nsv_val
     rc_ref[:] = rc
@@ -239,8 +287,28 @@ def scan_core(dlt_raw, interpret: bool = False):
     """
     m = dlt_raw.shape[0]
     dlt32 = jnp.where(dlt_raw <= 31, dlt_raw - 2, 30).astype(jnp.int32)
-    psv_pos, psv_val, lc = _run(_fwd_kernel, dlt32, interpret)
-    nsv_f, nsvv_f, rc_f = _run(_rev_kernel, dlt32[::-1], interpret, m=m)
+    pad = (-m) % CHUNK
+    dltf = dlt32
+    dltr = dlt32[::-1]
+    if pad:
+        padv = jnp.full((pad,), 30, jnp.int32)
+        dltf = jnp.concatenate([dltf, padv])
+        dltr = jnp.concatenate([dltr, padv])
+    mp = dltf.shape[0]
+    chunks = mp // CHUNK
+    spec = pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_both_kernel, m=m),
+        grid=(chunks,),
+        in_specs=[spec, spec],
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, mp), jnp.int32)] * 6,
+        scratch_shapes=[pltpu.VMEM((V, 1), jnp.int32)] * 4,
+        interpret=interpret,
+    )(dltf.reshape(1, mp), dltr.reshape(1, mp))
+    psv_pos, psv_val, lc, nsv_f, nsvv_f, rc_f = (
+        o.reshape(mp)[:m] for o in outs
+    )
     return psv_pos, psv_val, lc, nsv_f[::-1], nsvv_f[::-1], rc_f[::-1]
 
 

@@ -386,6 +386,14 @@ def apetrei_build_packed(codes, leaf_packed_t):
     leaf_packed_t: f32[6, n] (rows = leaf min xyz, -max xyz), sorted order.
     Returns (left, right, parent, int_packed_t f32[6, m], root).
     """
+    out = apetrei_build_packed_full(codes, leaf_packed_t)
+    return out[:5]
+
+
+def apetrei_build_packed_full(codes, leaf_packed_t):
+    """`apetrei_build_packed` + the per-node leaf ranges (first, last) —
+    consumed by the blocked fast collapse, which exploits the boundary
+    layout's locality (children of node i live inside [first_i, last_i])."""
     from . import refit as _refit
 
     n = codes.shape[0]
@@ -412,7 +420,7 @@ def apetrei_build_packed(codes, leaf_packed_t):
     right = jnp.concatenate([right_internal, jnp.full((n,), -1, I32)])
     parent = jnp.concatenate([parent_internal, parent_leaf])
     root_idx = jnp.argmax(is_root).astype(I32)
-    return left, right, parent, int_packed_t, root_idx
+    return left, right, parent, int_packed_t, root_idx, first, last
 
 
 def apetrei_build(codes, leaf_min, leaf_max):

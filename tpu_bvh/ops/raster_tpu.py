@@ -100,7 +100,7 @@ def _build_slabs(wt, prim_ids, eye, leaf_size: int):
 
 
 def _kernel(g_ct, g_first, p_tlb, p_bits, dirs, slab,
-            out_t, out_p, out_u, out_v, tmax_s, debug: int = 0):
+            out_t, out_p, out_u, out_v, out_c, tmax_s, debug: int = 0):
     # debug (static): 0 = full sweep; 1 = skip sweeps entirely (binning,
     # loops, DMA only); 2 = dot + t-plane + min-reduce + t store only
     from jax.experimental import pallas as pl
@@ -115,6 +115,7 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, dirs, slab,
         out_p[:] = jnp.full_like(out_p, -1)
         out_u[:] = jnp.zeros_like(out_u)
         out_v[:] = jnp.zeros_like(out_v)
+        out_c[:] = jnp.zeros_like(out_c)
         for s in range(NSUB):
             tmax_s[s] = BIGF
 
@@ -126,6 +127,13 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, dirs, slab,
     iota_l = lax.broadcasted_iota(I32, (L, RPT), 0)
 
     def sweep(j, s):
+        if debug == 0:
+            # traversal-work counter (the reference's `rayCounter` heat-map
+            # signal, `TraversalKernel.h:191` / `Utility.cpp:424-454`):
+            # every ray in this subtile sweeps L more candidate triangles
+            sr0 = pl.ds(s // 2, 1)
+            sc0 = pl.ds(pl.multiple_of((s % 2) * RPT, RPT), RPT)
+            out_c[0, sr0, sc0] = out_c[0, sr0, sc0] + L
         if debug == 1:
             out_t[0, pl.ds(s // 2, 1), pl.ds(pl.multiple_of((s % 2) * RPT, RPT), RPT)] = (
                 jnp.zeros((1, RPT), F32) + jnp.float32(s)
@@ -407,6 +415,7 @@ def _render_tpu_impl(
         jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), I32),
         jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
         jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), F32),
+        jax.ShapeDtypeStruct((n_ct, 8, RPC // 8), I32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -427,14 +436,14 @@ def _render_tpu_impl(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 4,
+        * 5,
         scratch_shapes=[
             pltpu.SMEM((NSUB,), F32),
         ],
     )
     from functools import partial as _partial
 
-    out_t, out_p, out_u, out_v = pl.pallas_call(
+    out_t, out_p, out_u, out_v, out_c = pl.pallas_call(
         _partial(_kernel, debug=debug),
         out_shape=out_shapes,
         grid_spec=grid_spec,
@@ -448,6 +457,7 @@ def _render_tpu_impl(
     prim = flat(out_p)
     u = flat(out_u)
     v = flat(out_v)
+    counts = flat(out_c).astype(jnp.uint32)
     miss = (prim < 0) | (t >= BIG)
     hit = HitInfo(
         prim_idx=jnp.where(miss, -1, prim),
@@ -455,4 +465,4 @@ def _render_tpu_impl(
         u=jnp.where(miss, 0.0, u),
         v=jnp.where(miss, 0.0, v),
     )
-    return hit, overflow
+    return hit, counts, overflow

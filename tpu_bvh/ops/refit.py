@@ -76,7 +76,7 @@ def refit_anchored(leaf_min, leaf_max, first, last, radius: int = 16):
     return out[:, :3], -out[:, 3:]
 
 
-def refit_anchored_packed(packed_t, first, last, radius: int = 16):
+def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
     """Refit for boundary-ordered nodes (node i sits between leaves i, i+1
     with first <= i < i+1 <= last — the split-position layout).
 
@@ -96,9 +96,7 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
     n = packed_t.shape[1]
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
-    assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
     assert m < (1 << 22), "long-path key packs positions in 22 bits"
-    i = jnp.arange(m, dtype=I32)
     big = jnp.float32(3.0e38)
     from ..utils.platform import on_tpu
     import os
@@ -110,6 +108,13 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
         and n >= 16384
         and not os.environ.get("TBVH_NO_PALLAS_REFIT")
     )
+    if radius is None:
+        # stencil shifts are ~free in the kernel, so a wider radius shrinks
+        # the long set (~2n/R) and with it the long path's gathers/scatter;
+        # the XLA fallback pays per-shift HBM round-trips, so stay narrow
+        radius = 48 if use_pallas else 16
+    assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
+    i = jnp.arange(m, dtype=I32)
 
     if use_pallas:
         # fused stencil kernel: dense phase + fine level-4 table in one
@@ -218,31 +223,26 @@ def refit_anchored_packed(packed_t, first, last, radius: int = 16):
         return [ut[k] for k in range(6)]
 
     # Long nodes to the front with ONE single-key unstable sort: the key
-    # packs (short, position), so it is unique, the order matches the old
-    # stable sort, and the positions ride back out of the key itself
-    # (measured: multi-operand stable sorts were the long path's largest
-    # cost; this + the hoisted query trims ~0.4 ms at 262K). The sorts and
-    # table query run unconditionally; only the placement is under the
-    # overflow cond.
+    # packs (short, position), so it is unique and long nodes land in the
+    # first n_long slots in position order. The answers are routed back
+    # with ONE cap-row scatter (cap ~ 4m/3R rows; a small-row scatter is
+    # ~0.01-0.15 ms on v5e vs ~0.35 ms for the m-row place-back sort this
+    # replaces). The sort and table query run unconditionally; only the
+    # placement is under the overflow cond.
     key = (short.astype(jnp.uint32) << 22) | i.astype(jnp.uint32)
     skey, cfq, clq = lax.sort(
         (key, first, last), num_keys=1, is_stable=False
     )
     cpos = (skey & ((1 << 22) - 1)).astype(I32)
     ut = query(cfq[:cap], clq[:cap]).T  # [6, cap]
-    rank = jnp.arange(m, dtype=I32)
-    in_long = rank < n_long
+    rank_c = jnp.arange(cap, dtype=I32)
 
     def place(_):
-        # route answers back to position order with a second single-key
-        # unstable sort (cpos is unique); a scatter costs ~1.4 ms flat
-        pad = jnp.full((m - cap,), big)
-        cols = [
-            jnp.where(in_long, jnp.concatenate([ut[k], pad]), big)
-            for k in range(6)
-        ]
-        back = lax.sort(tuple([cpos] + cols), num_keys=1, is_stable=False)
-        return list(back[1:])
+        # scatter the cap answers back to their positions; rows past
+        # n_long are routed out of bounds and dropped
+        tgt = jnp.where(rank_c < n_long, cpos[:cap], m)
+        out = jnp.full((6, m), big)
+        return list(out.at[:, tgt].set(ut, mode="drop"))
 
     long_cols = lax.cond(n_long <= cap, place, full_path, None)
     return jnp.stack(

@@ -133,7 +133,7 @@ def render_raster_sharded(
         check_vma=False,
     )
     def _render(ts, pids, rays_l, tr_l):
-        hit, _ = raster_tpu._render_tpu_impl(
+        hit, _c, _ = raster_tpu._render_tpu_impl(
             ts, pids, rays_l, tr_l, w_local, height,
             kw.get("cand_cap", 256), kw.get("pair_cap", 2048),
             kw.get("group", 8), scene.leaf_size, interpret,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 INVALID_IDX = jnp.int32(-1)
 FLT_MAX = jnp.float32(3.402823466e38)
+_ZERO_I32 = jnp.int32(0)
 
 # Tuning constants mirroring /root/reference/src/Common.h:593-597.
 PLOC_RADIUS = 8
@@ -96,6 +97,11 @@ class Bvh4(NamedTuple):
     n_nodes: jax.Array  # i32[] number of wide internal nodes actually used
     leaf_prim: jax.Array  # i32[N] prim index per wide leaf slot
     leaf_parent: jax.Array  # i32[N]
+    # Root wide-node index. The queue-ordered collapse re-roots to 0 like
+    # the reference (`SinglePassLbvh.cpp:183`); the blocked fast collapse
+    # keeps sparse bvh2-id numbering (wide node x occupies slot x, unused
+    # slots have child_count == 0), where the root keeps its bvh2 index.
+    root: jax.Array = _ZERO_I32
 
     @property
     def n_internal_cap(self) -> int:

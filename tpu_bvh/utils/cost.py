@@ -37,17 +37,18 @@ def sah_cost_bvh4(bvh4, prim_aabb_min, prim_aabb_max) -> jnp.ndarray:
     cmin = bvh4.child_min
     cmax = bvh4.child_max
 
-    root_valid = child[0] >= 0
+    root_valid = child[bvh4.root] >= 0
     root_min = jnp.min(
-        jnp.where(root_valid[:, None], cmin[0], jnp.inf), axis=0
+        jnp.where(root_valid[:, None], cmin[bvh4.root], jnp.inf), axis=0
     )
     root_max = jnp.max(
-        jnp.where(root_valid[:, None], cmax[0], -jnp.inf), axis=0
+        jnp.where(root_valid[:, None], cmax[bvh4.root], -jnp.inf), axis=0
     )
     inv_root = 1.0 / A.area(root_min, root_max)
 
-    node_ids = jnp.arange(child.shape[0])[:, None]
-    is_used = node_ids < bvh4.n_nodes
+    # used-slot mask by child_count: holds for both the dense queue-ordered
+    # numbering (used slots = prefix) and the sparse fast-collapse numbering
+    is_used = (bvh4.child_count > 0)[:, None]
     is_internal_child = (child >= 0) & (child < cap) & is_used
     child_areas = A.area(cmin, cmax)
     cost = 1.0 + jnp.sum(jnp.where(is_internal_child, child_areas, 0.0)) * inv_root

@@ -177,6 +177,9 @@ def collapse_cpu(bvh):
             next_free += k_alloc
         frontier = new_frontier
 
+    b2_node = np.full(max(cap, 1), -1, np.int64)
+    for widx, (b2, _par) in tasks.items():
+        b2_node[widx] = b2
     return {
         "child": child,
         "child_min": cmin,
@@ -186,4 +189,8 @@ def collapse_cpu(bvh):
         "n_nodes": next_free,
         "leaf_prim": leaf_prim,
         "leaf_parent": leaf_parent,
+        # bvh2 node that became wide node i (the wide tree is the same set
+        # regardless of numbering; this is the isomorphism witness used to
+        # compare sparse-numbered fast-collapse output byte-for-byte)
+        "b2_node": b2_node,
     }

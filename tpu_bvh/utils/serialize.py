@@ -27,4 +27,8 @@ def load_bvh(path: str):
     with np.load(path) as data:
         kind = str(data["__kind__"])
         cls = _TYPES[kind]
-        return cls(**{f: jnp.asarray(data[f]) for f in cls._fields})
+        # tolerate files written before a defaulted field existed (e.g.
+        # Bvh4.root): NamedTuple defaults fill the gap
+        return cls(
+            **{f: jnp.asarray(data[f]) for f in cls._fields if f in data}
+        )

@@ -83,7 +83,7 @@ def check_bvh4_correctness(bvh4, n_prims: int) -> bool:
     leaf_prim = _as_np(bvh4.leaf_prim)
     cap = bvh4.n_internal_cap
     prims = []
-    stack = [0]
+    stack = [int(_as_np(bvh4.root))]
     while stack:
         idx = stack.pop()
         if idx >= cap:
