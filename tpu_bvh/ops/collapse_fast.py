@@ -243,7 +243,7 @@ def collapse_lbvh_to_bvh4(
                 [(~is_long).astype(I32)[None, :], jnp.zeros((1, W - m), I32)], 1
             ),
             jnp.concatenate([e2_dense[None, :], padm], 1),
-            jnp.zeros((1, W), I32),
+            parent[None, m:].astype(I32),  # leaf parents (for claims)
         ],
         axis=0,
     )

@@ -78,7 +78,14 @@ _NOMATCH = -(2**30)  # label no target can equal
 
 _WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
 _CONST_TBL = 0b010101  # multiplier: state s -> table (s, s, s)
-_HS = 128  # strip halo: >= doubling chain reach (64 pull + 64 dependency)
+# Doubling pull reach: every ptr in the chain is a short ancestor of the
+# lane (or its seeded terminal, a child-of-coarse SHORT node), and a short
+# node's range contains its own boundary, so |ptr - lane| <= S_LEN + 2.
+# The transitive dependency cone of a lane is its ancestor set — also
+# within +-(S_LEN + 2) — so the strip halo only needs to cover one reach.
+_DP = S_LEN + 3  # doubling pull window
+_HS = 128  # strip halo: >= _DP, AND a multiple of 128 so strip view
+# starts stay lane-aligned (Mosaic cannot concat rows at offset 64)
 
 
 def _sh(t, d):
@@ -279,9 +286,9 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
         return (tbl >> (2 * x)) & 3
 
     for _ in range(n_trips if do_states else 0):
-        tptr = pk8 >> 6  # pulls: |ptr - lane| <= 64 by construction
+        tptr = pk8 >> 6  # pulls: |ptr - lane| <= _DP by construction
         pulled = jnp.full_like(pk8, -1)
-        for d in range(-64, 65):
+        for d in range(-_DP, _DP + 1):
             pulled = jnp.where(tptr == slane + d, _sh(pk8, d), pulled)
         # unmatched (shouldn't happen for in-range lanes): keep self
         pulled = jnp.where(pulled < 0, pk8, pulled)
@@ -297,22 +304,66 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     state = packed & 3  # = f(WIDE at the chain's seed)
     is_wide = (state == _WIDE) & shortv
 
-    # ---- ownership: who claims lane i (internal) / leaf lane j ----
-    # stacked targets: rows 0..3 internal slot ids, rows 4..7 leaf lanes
-    own_t = jnp.concatenate(
-        [jnp.where((sid >= 0) & (sid < m), sid, _NOMATCH) for sid in s_id]
-        + [jnp.where(sid >= m, sid - m, _NOMATCH) for sid in s_id],
-        axis=0,
-    )
-    own_t = jnp.where(is_wide, own_t, _NOMATCH)
+    # ---- ownership via the wide-ancestor chain ----
+    # A slot's owner is its nearest WIDE proper ancestor, and expansion
+    # reaches at most 2 levels below a wide node, so the owner of node i
+    # (resp. leaf j) is the first WIDE among {p, gp, ggp} (its parent
+    # chain). SHORT claimers are ancestors => within +-(S_LEN + 2) lanes;
+    # a chain hop that leaves the window can only land on a COARSE
+    # claimer, whose claims the XLA merge scatters in afterwards — the
+    # kernel safely reports -1 there. Three stacked (parent*4 | state)
+    # pulls replace the 67-offset slot-matching sweep (~6x cheaper).
+    # (parent + 1) so the root's packed value stays non-negative
+    pk_row = jnp.where(is_int, (parent + 1) * 4 + jnp.minimum(state, 2), -1)
+    leafp = meta[7:8, :]  # leaf lane j's bvh2 parent (boundary j-1 or j)
+
+    def chain_pull(t_a, t_b):
+        """packed (parent*4|state) at internal targets t_a, t_b."""
+        ta = jnp.where((t_a >= 0) & (t_a < m), t_a, _NOMATCH)
+        tb = jnp.where((t_b >= 0) & (t_b < m), t_b, _NOMATCH)
+        t8 = jnp.concatenate(
+            [ta, tb, jnp.full((6, s), _NOMATCH, I32)], axis=0
+        )
+        v8 = jnp.concatenate([pk_row, pk_row, jnp.zeros((6, s), I32)], 0)
+        acc = jnp.full((8, s), -1, I32)
+        for d in range(-_DP, _DP + 1):
+            acc = jnp.where(t8 == lane + d, _sh(v8, d), acc)
+        return acc[0:1], acc[1:2]
+
     claim_int = jnp.full((1, s), -1, I32)
     claim_leaf = jnp.full((1, s), -1, I32)
-    for d in (range(-_DW, _DW + 1) if (_PARTS & 4) else ()):
-        tm = _sh(own_t, d)  # slot targets of node lane+d
-        hit_i = jnp.any(tm[0:4, :] == lane, axis=0, keepdims=True)
-        hit_l = jnp.any(tm[4:8, :] == lane, axis=0, keepdims=True)
-        claim_int = jnp.where(hit_i, lane + d, claim_int)
-        claim_leaf = jnp.where(hit_l, lane + d, claim_leaf)
+    if _PARTS & 4:
+        # leaf lane j's parent q is boundary j-1 or j: a 2-way shift
+        pk_q = jnp.where(
+            leafp == lane, pk_row, jnp.where(leafp == lane - 1,
+                                             _sh(pk_row, -1), -1)
+        )
+        pk_p, _ = chain_pull(parent, jnp.full((1, s), _NOMATCH, I32))
+        dec = lambda pk: jnp.where(pk >= 0, (pk >> 2) - 1, -1)
+        gp = dec(pk_p)
+        pq = dec(pk_q)
+        pk_gp, pk_pq = chain_pull(gp, pq)
+        ggp = dec(pk_gp)
+        gpq = dec(pk_pq)
+        pk_ggp, pk_gpq = chain_pull(ggp, gpq)
+
+        def first_wide(cands):
+            c = jnp.full((1, s), -1, I32)
+            for t, pk in reversed(cands):
+                c = jnp.where((pk >= 0) & ((pk & 3) == _WIDE), t, c)
+            return c
+
+        claim_int = jnp.where(
+            is_wide & (parent >= 0),
+            first_wide([(parent, pk_p), (gp, pk_gp), (ggp, pk_ggp)]),
+            claim_int,
+        )
+        is_leaf_lane = (lane >= 0) & (lane < m + 1)  # leaf j at column j
+        claim_leaf = jnp.where(
+            is_leaf_lane & (leafp >= 0),
+            first_wide([(leafp, pk_q), (pq, pk_pq), (gpq, pk_gpq)]),
+            claim_leaf,
+        )
 
     # ---- slot AABB pull at the final slot ids ----
     ab = [jnp.zeros((8, s), I32) for _ in range(4)]

@@ -142,23 +142,32 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, dirs, slab,
         d_seg = dirs[0, :, pl.ds(pl.multiple_of(s * RPT, RPT), RPT)]  # [3,256]
         d4 = jnp.concatenate([d_seg, jnp.ones((1, RPT), F32)], axis=0)
         cj = slab[j]  # [4, 6L]
-        # near-f32 sweep via a manual 3-pass bf16 split (hi*hi + lo*hi +
-        # hi*lo): the default single bf16 pass loses ~8 mantissa bits,
-        # flipping u/v/w sign tests on silhouette pixels vs the wavefront
-        # oracle (75/36K pixels at 512^2 sponza); Precision.HIGHEST fixes
-        # that but costs 6 MXU passes (269 -> 150 Mrays/s). Mosaic has no
-        # bf16_3x, so split by hand: rel err ~2^-18, pixel-exact vs the
-        # f32 oracle in practice, at half HIGHEST's cost.
+        # near-f32 sweep via a bf16 split (hi*hi + lo*hi + hi*lo): a single
+        # bf16 pass loses ~8 mantissa bits, flipping u/v/w sign tests on
+        # silhouette pixels vs the wavefront oracle (75/36K pixels at 512^2
+        # sponza); Precision.HIGHEST fixes that but costs 6 MXU passes
+        # (269 -> 150 Mrays/s). The three correction terms ride ONE matmul:
+        # the contraction depth is 4, the MXU contracts 128 deep regardless,
+        # so stacking (hi, lo, hi) x (hi, hi, lo) along the contraction axis
+        # (depth 12) evaluates the full split at single-pass cost.
+        # Rel err ~2^-18, pixel-exact vs the f32 oracle in practice.
         def dot_(a, b):
             return lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
             )
 
+        # f32 containers: the TPU MXU truncates f32 operands to bf16 at
+        # default precision (hi parts are bf16-valued, so exact), while
+        # interpret/CPU evaluates exact f32 and stays bit-identical to the
+        # XLA oracle.
         cj_hi = cj.astype(jnp.bfloat16).astype(F32)
         cj_lo = cj - cj_hi
         d_hi = d4.astype(jnp.bfloat16).astype(F32)
         d_lo = d4 - d_hi
-        planes = dot_(cj_hi, d_hi) + (dot_(cj_lo, d_hi) + dot_(cj_hi, d_lo))
+        planes = dot_(
+            jnp.concatenate([cj_hi, cj_lo, cj_hi], axis=0),
+            jnp.concatenate([d_hi, d_hi, d_lo], axis=0),
+        )
         # [6L, 256]
         un = planes[0 * L : 1 * L, :]
         vn = planes[1 * L : 2 * L, :]
