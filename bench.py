@@ -82,12 +82,12 @@ SAH_PINS = {
         "hploc": 281.14,
         "bvh4": 159.13,
     },
-    # bunny pins: None until recorded from the first verified r3 run
+    # recorded from the first structurally-verified r3 chip run
     "bunny_like": {
-        "single_pass": None,
-        "two_pass": None,
-        "ploc": None,
-        "hploc": None,
+        "single_pass": 51.90,
+        "two_pass": 51.90,
+        "ploc": 49.60,
+        "hploc": 50.25,
     },
 }
 
@@ -211,7 +211,7 @@ def _phase_table(tris):
         try:
             phases[name] = _slope_time(mk, k_lo=2, k_hi=k_hi, reps=5)
         except Exception as e:  # noqa: BLE001
-            print(f"phase {name} failed: {e}", file=sys.stderr)
+            print(f"phase {name} failed: {e!r}", file=sys.stderr)
             phases[name] = float("nan")
     return phases
 
@@ -287,7 +287,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
-                print(f"{scene_name}/{name} bench failed: {e}", file=sys.stderr)
+                print(f"{scene_name}/{name} bench failed: {e!r}", file=sys.stderr)
                 check(f"{scene_name}_{name}_bench_ran", False)
 
         # ---- on-chip structural verification + BVH2 SAH per builder ----
@@ -306,7 +306,7 @@ def main() -> None:
                 print(f"{scene_name}/{name}: sah_bvh2 {c:.2f} verified="
                       f"{ok_root and ok_tree}", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
-                print(f"{scene_name}/{name} verify failed: {e}", file=sys.stderr)
+                print(f"{scene_name}/{name} verify failed: {e!r}", file=sys.stderr)
                 check(f"{scene_name}_{name}_verify_ran", False)
     n = int(tris.shape[0])
 
@@ -433,7 +433,7 @@ def main() -> None:
                 print(f"collapse oracle mismatch in {f}", file=sys.stderr)
         check("collapse_matches_cpu_oracle", ok)
     except Exception as e:  # noqa: BLE001
-        print(f"collapse bench failed: {e}", file=sys.stderr)
+        print(f"collapse bench failed: {e!r}", file=sys.stderr)
         check("collapse_ran", False)
 
     # batched tiny-mesh throughput (the reference's 4096-mesh demo,
@@ -464,7 +464,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"batched bench failed: {e}", file=sys.stderr)
+        print(f"batched bench failed: {e!r}", file=sys.stderr)
 
     # ---- traversal/render throughput, 512x512 primary rays on sponza ----
     # raster engine (the TPU-native fast path); verified pixel-for-pixel
@@ -562,7 +562,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"raster bench failed: {e}", file=sys.stderr)
+        print(f"raster bench failed: {e!r}", file=sys.stderr)
         check("raster_ran", False)
 
     if True:  # wavefront row runs by default (round-2 verdict item 5)
@@ -595,7 +595,7 @@ def main() -> None:
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001
-            print(f"traversal bench failed: {e}", file=sys.stderr)
+            print(f"traversal bench failed: {e!r}", file=sys.stderr)
 
     verified = all(ok for _, ok in CHECKS) and bool(CHECKS)
     n_fail = sum(1 for _, ok in CHECKS if not ok)

@@ -88,3 +88,30 @@ def test_coarse_layout_roundtrip():
     ct = raster_tpu._to_coarse_layout(x.reshape(w, h, 3), w, h)
     back = raster_tpu._from_coarse_layout(ct, w, h)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_kernel_unaligned_dims_pad_crop():
+    """Non-64-multiple render dims (e.g. 1080p's height) pad internally
+    with edge-replicated rays and crop back — same hits as the XLA oracle."""
+    tris = jnp.asarray(scenes.cornellbox())
+    tr, cam = scenes.preset("cornellbox")
+    w, h = 96, 80  # neither is a multiple of the 64-px coarse tile
+    rays = camera.generate_rays(cam, w, h)
+    bvh = lbvh.build_two_pass(tris)
+    packed = raster.pack_raster(bvh, tris, leaf_size=8)
+
+    hit_k, counts, ovf_k = raster_tpu.render_raster_tpu(
+        packed, rays, tr, w, h, cand_cap=32, pair_cap=1024, group=8,
+        interpret=True,
+    )
+    assert hit_k.prim_idx.shape == (w * h,)
+    assert counts.shape == (w * h,)
+    hit_x, _, _ = raster.render_raster_xla(packed, rays, tr, w, h)
+    assert not bool(ovf_k)
+    np.testing.assert_array_equal(
+        np.asarray(hit_k.prim_idx), np.asarray(hit_x.prim_idx)
+    )
+    both = np.asarray(hit_k.prim_idx) >= 0
+    np.testing.assert_allclose(
+        np.asarray(hit_k.t)[both], np.asarray(hit_x.t)[both], rtol=1e-5
+    )

@@ -368,7 +368,28 @@ def _render_tpu_impl(
     from jax.experimental.pallas import tpu as pltpu
 
     L = leaf_size
-    assert width % (SUB * CGRID) == 0 and height % (SUB * CGRID) == 0
+    edge = SUB * CGRID  # coarse-tile edge (64 px)
+    if width % edge or height % edge:
+        # pad to coarse-tile multiples with edge-replicated rays (harmless
+        # duplicate work on <6% of pixels at 1080p), then crop x-major
+        wp = -(-width // edge) * edge
+        hp = -(-height // edge) * edge
+        d = rays.direction.reshape(width, height, 3)
+        d = jnp.pad(d, ((0, wp - width), (0, hp - height), (0, 0)),
+                    mode="edge")
+        rp = Rays(
+            origin=jnp.broadcast_to(rays.origin[0], (wp * hp, 3)),
+            direction=d.reshape(wp * hp, 3),
+            tmin=jnp.zeros((wp * hp,), F32),
+            tmax=jnp.full((wp * hp,), FLT_MAX, F32),
+        )
+        hit, counts, overflow = _render_tpu_impl(
+            tris_sorted, prim_ids, rp, tr, wp, hp, cand_cap, pair_cap,
+            group, leaf_size, interpret, debug,
+        )
+        crop = lambda x: x.reshape(wp, hp)[:width, :height].reshape(-1)
+        hit = HitInfo(*(crop(f) for f in hit))
+        return hit, crop(counts), overflow
     n_ct = (width * height) // RPC
     G = group
     ng = pair_cap // G
