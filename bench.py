@@ -455,14 +455,22 @@ def main() -> None:
 
             return lax.fori_loop(0, k, body, 0.0)
 
-        # wide k spread: per-iter cost is small vs dispatch noise, and a
-        # narrow spread produced negative slopes on the tunneled chip
-        ms = _slope_time(batched_loop, k_lo=2, k_hi=16, reps=5)
-        print(
-            f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
-            f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
-            file=sys.stderr,
-        )
+        # wide k spread: per-iter cost (~0.065 ms) is small vs tunnel
+        # dispatch noise; 4->64 puts ~4 ms of work in the delta (a 2->16
+        # spread still produced negative slopes on the tunneled chip)
+        ms = _slope_time(batched_loop, k_lo=4, k_hi=64, reps=5)
+        if ms > 0:
+            print(
+                f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
+                f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"batched: slope {ms:.3f} ms below dispatch noise floor "
+                f"(> {n_meshes*1e3/0.3/1e6:.0f} M meshes/s)",
+                file=sys.stderr,
+            )
     except Exception as e:  # noqa: BLE001
         print(f"batched bench failed: {e!r}", file=sys.stderr)
 

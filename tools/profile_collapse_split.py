@@ -57,8 +57,6 @@ def mk_full(k):
     return lax.fori_loop(0, k, body, 0.0)
 
 
-print(f"full collapse_lbvh_to_bvh4: {slope(mk_full):7.3f} ms", flush=True)
-
 # stage isolation: monkeypatch the kernel with a passthrough to time
 # XLA prep + coarse + merge without the Pallas cost
 import tpu_bvh.ops.collapse_fast as CF
@@ -155,3 +153,5 @@ def mk_coarse(k):
 
 
 print(f"coarse prep (sort + 7 gathers): {slope(mk_coarse):7.3f} ms", flush=True)
+
+print(f"full collapse_lbvh_to_bvh4: {slope(mk_full):7.3f} ms", flush=True)

@@ -17,23 +17,27 @@ global pointers through HBM therefore becomes bounded-offset shift sweeps
 over VMEM-resident blocks (a random gather costs ~7 ns/row on v5e — ~1.9 ms
 per full-array access — while a [8, blk] shift+select is ~7 ns total).
 
-Phases, all in one kernel pass:
+Phases, all in one kernel pass. Every [1, s]-valued pull runs STRIP-FOLDED
+(`_folded_cross_pull`): the row is resliced into 8 overlapping sublane
+strips so each tap costs ~6 vregs instead of ~s/128, and targets of the
+same pull share one value roll per tap.
   1. expansion tables: simulate the two largest-area-child expansions for
-     every short node (value-stacked pulls: targets x values share one
-     [8, s] compare+select per offset), byte-exact oracle semantics
-     (first-max argmax, strict area > 0, f32 areas compared as i32 bits).
+     every short node (folded (area,left,right) x (l,r) cross pulls),
+     byte-exact oracle semantics (first-max argmax, strict area > 0, f32
+     areas compared as i32 bits).
   2. state resolution: every node is WIDE / E1 (absorbed as some wide
      ancestor's first expansion) / E2 (second). 3-state transition tables
      compose along parent chains by pointer doubling; chains terminate at
      XLA-seeded lanes (coarse nodes + children of coarse nodes), so all
-     pulls stay within +-64 lanes. The doubling runs STRIP-FOLDED: the
-     packed (ptr, table) vector is resliced into 8 overlapping sublane
-     strips so each trip is ~6 vregs instead of ~36.
+     pulls stay within +-64 lanes. e2-at-grandparent is a TWO-HOP pull
+     (e2_full at parent via the folded parent sweep, then that row pulled
+     at parent again) instead of a +-(2*S_LEN+1)-tap direct sweep.
   3. ownership: wide node X's final slots claim their nodes/leaves; each
-     node finds its wide parent by scanning +-S_LEN for a claiming short
-     wide X (coarse claims are scattered in by the XLA side afterwards).
+     node finds its wide parent via three folded chain pulls of the packed
+     (parent, state) row (coarse claims are scattered in by the XLA side
+     afterwards).
   4. slot AABB emission: one +-S_LEN pull of the node/leaf packed rows at
-     the four final slot ids.
+     the four final slot ids (true [8, s] values — not foldable).
 
 Seeds, coarse expansion tables, and coarse emission come from
 `ops/collapse_fast.py` (the coarse set is ancestor-closed and ~4% of nodes
@@ -128,6 +132,28 @@ def _strip_unfold(t, s):
 _PARTS = int(os.environ.get("TBVH_COLLAPSE_PARTS", "15"))
 
 
+def _folded_cross_pull(values, targets, lane, s, lo, hi):
+    """Strip-folded stencil pull of each value row at each target row.
+
+    values/targets: [1, s] rows (targets pre-filtered to absolute lane ids,
+    _NOMATCH elsewhere). Returns accs[i][j] = values[i] at targets[j]
+    ([1, s], -1 where unmatched). All pulls must stay within [lo, hi] of
+    the lane, |lo|,|hi| <= _HS (the strip halo), same argument as the
+    pointer-doubling fold. Cost per tap: V rolls + T compares + V*T
+    selects on [8, c+2h] strips (~6 vregs) instead of [8, s] (~s/128)."""
+    vf = [_strip_fold(v, s) for v in values]
+    tf = [_strip_fold(t, s) for t in targets]
+    sl = _strip_fold(lane, s)
+    accs = [[jnp.full_like(vf[0], -1) for _ in targets] for _ in values]
+    for d in range(lo, hi + 1):
+        vs = [_sh(v, d) for v in vf]
+        ms = [t == sl + d for t in tf]
+        for i in range(len(values)):
+            for j in range(len(targets)):
+                accs[i][j] = jnp.where(ms[j], vs[i], accs[i][j])
+    return [[_strip_unfold(a, s) for a in row] for row in accs]
+
+
 def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
             leaf_l, leaf_m, leaf_r, outm, outa0, outa1, outa2, outa3,
             *, blk: int, m: int, n_trips: int):
@@ -154,22 +180,20 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     neg1 = jnp.full((1, s), -1, I32)
     zeros1 = jnp.zeros((1, s), I32)
 
-    # ---- sweep 1: (area, left, right) at targets l, r (value-stacked) ----
+    # ---- sweep 1: (area, left, right) at targets l, r (strip-folded) ----
     def meta_sweep(t_a, t_b):
         """Pull rows (area,left,right) of meta at internal targets t_a, t_b.
         Returns [8, s]: rows 0..2 = values at t_a, rows 3..5 at t_b."""
         ta = jnp.where((t_a >= 0) & (t_a < m), t_a, _NOMATCH)
         tb = jnp.where((t_b >= 0) & (t_b < m), t_b, _NOMATCH)
-        t8 = jnp.concatenate(
-            [ta, ta, ta, tb, tb, tb, jnp.full((2, s), _NOMATCH, I32)], axis=0
+        r = _folded_cross_pull(
+            [area, left, right], [ta, tb], lane, s, -_DW, _DW
         )
-        v8 = jnp.concatenate(
-            [meta[0:3, :], meta[0:3, :], jnp.zeros((2, s), I32)], axis=0
+        return jnp.concatenate(
+            [r[0][0], r[1][0], r[2][0], r[0][1], r[1][1], r[2][1],
+             jnp.full((2, s), -1, I32)],
+            axis=0,
         )
-        acc = jnp.full((8, s), -1, I32)
-        for d in range(-_DW, _DW + 1):
-            acc = jnp.where(t8 == lane + d, _sh(v8, d), acc)
-        return acc
 
     if not (_PARTS & 1):
         z1 = jnp.zeros((1, s), I32)
@@ -249,23 +273,28 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     # ---- states: transition tables + strip-folded pointer doubling ----
     # table per unseeded lane from (e1, e2) of parent and e2 of grandparent
     do_states = bool(_PARTS & 8)
-    t8p = jnp.concatenate(
-        [parent, parent, parent, jnp.full((5, s), _NOMATCH, I32)], axis=0
-    )
-    v8p = jnp.concatenate(
-        [e1_out, e2_out, parent, jnp.zeros((5, s), I32)], axis=0
-    )
-    accp = jnp.full((8, s), -1, I32)
-    for d in (range(-S_LEN - 1, S_LEN + 2) if do_states else ()):
-        accp = jnp.where(t8p == lane + d, _sh(v8p, d), accp)
-    e1p, e2p, gpos = accp[0:1], accp[1:2], accp[2:3]
-
-    # e2 at grandparent (g may be coarse: e2_full has XLA-filled coarse rows)
     e2_full = jnp.where(shortv, e2_out, e2in)
-    e2g = jnp.full((1, s), -1, I32)
-    gt = jnp.where(gpos >= 0, gpos, _NOMATCH)
-    for d in (range(-2 * S_LEN - 1, 2 * S_LEN + 2) if do_states else ()):
-        e2g = jnp.where(gt == lane + d, _sh(e2_full, d), e2g)
+    tpar = jnp.where((parent >= 0) & (parent < m), parent, _NOMATCH)
+    e1p = e2p = e2fp = neg1
+    if do_states:
+        rp = _folded_cross_pull(
+            [e1_out, e2_out, e2_full], [tpar], lane, s,
+            -S_LEN - 1, S_LEN + 1,
+        )
+        e1p, e2p = rp[0][0], rp[1][0]
+        e2fp = rp[2][0]  # e2_full at parent: e2fp[j] = e2_full[parent(j)]
+
+    # e2 at grandparent, TWO-HOP: e2g[i] = e2fp[parent(i)] =
+    # e2_full[parent(parent(i))]. The inner hop (accp row 3) is valid at
+    # every SHORT lane (its parent is within the accp window; the value
+    # array e2_full carries XLA-filled rows for coarse grandparents), and
+    # every UNSEEDED lane's parent is short (a coarse parent would make the
+    # lane a seeded child-of-coarse, where fenc is overridden below) — so
+    # the hop composition is exact wherever t_e1 is consumed. This replaces
+    # a +-(2*S_LEN+1)-tap direct sweep with one strip-folded +-_DP pull.
+    e2g = neg1
+    if do_states:
+        e2g = _folded_cross_pull([e2fp], [tpar], lane, s, -_DP, _DP)[0][0]
 
     t_wide = jnp.where(lane == e1p, _E1, jnp.where(lane == e2p, _E2, _WIDE))
     t_e1 = jnp.where(lane == e2g, _E2, _WIDE)
@@ -317,35 +346,34 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     pk_row = jnp.where(is_int, (parent + 1) * 4 + jnp.minimum(state, 2), -1)
     leafp = meta[7:8, :]  # leaf lane j's bvh2 parent (boundary j-1 or j)
 
-    def chain_pull(t_a, t_b):
-        """packed (parent*4|state) at internal targets t_a, t_b."""
-        ta = jnp.where((t_a >= 0) & (t_a < m), t_a, _NOMATCH)
-        tb = jnp.where((t_b >= 0) & (t_b < m), t_b, _NOMATCH)
-        t8 = jnp.concatenate(
-            [ta, tb, jnp.full((6, s), _NOMATCH, I32)], axis=0
-        )
-        v8 = jnp.concatenate([pk_row, pk_row, jnp.zeros((6, s), I32)], 0)
-        acc = jnp.full((8, s), -1, I32)
-        for d in range(-_DP, _DP + 1):
-            acc = jnp.where(t8 == lane + d, _sh(v8, d), acc)
-        return acc[0:1], acc[1:2]
-
     claim_int = jnp.full((1, s), -1, I32)
     claim_leaf = jnp.full((1, s), -1, I32)
     if _PARTS & 4:
+        # strip-folded pulls of the packed (parent*4|state) row: chain hops
+        # stay within +-_DP (claimers are short ancestors), so the same
+        # fold/halo argument as the doubling applies, at [8, c+2h] cost
+        # per op instead of [8, s] — and the two targets of each hop share
+        # one value roll per tap.
+        def chain_pull(t_a, t_b=None):
+            """packed (parent*4|state) at internal targets t_a[, t_b]."""
+            ts = [t_a] if t_b is None else [t_a, t_b]
+            ts = [jnp.where((t >= 0) & (t < m), t, _NOMATCH) for t in ts]
+            r = _folded_cross_pull([pk_row], ts, lane, s, -_DP, _DP)[0]
+            return (r[0], None) if t_b is None else (r[0], r[1])
+
+        dec = lambda pk: jnp.where(pk >= 0, (pk >> 2) - 1, -1)
         # leaf lane j's parent q is boundary j-1 or j: a 2-way shift
         pk_q = jnp.where(
             leafp == lane, pk_row, jnp.where(leafp == lane - 1,
                                              _sh(pk_row, -1), -1)
         )
-        pk_p, _ = chain_pull(parent, jnp.full((1, s), _NOMATCH, I32))
-        dec = lambda pk: jnp.where(pk >= 0, (pk >> 2) - 1, -1)
-        gp = dec(pk_p)
         pq = dec(pk_q)
-        pk_gp, pk_pq = chain_pull(gp, pq)
-        ggp = dec(pk_gp)
+        pk_p, pk_pq = chain_pull(parent, pq)
+        gp = dec(pk_p)
         gpq = dec(pk_pq)
-        pk_ggp, pk_gpq = chain_pull(ggp, gpq)
+        pk_gp, pk_gpq = chain_pull(gp, gpq)
+        ggp = dec(pk_gp)
+        pk_ggp, _ = chain_pull(ggp)
 
         def first_wide(cands):
             c = jnp.full((1, s), -1, I32)
