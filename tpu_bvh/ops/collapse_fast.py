@@ -218,15 +218,36 @@ def collapse_lbvh_to_bvh4(
     state_l = child_state(c_left)
     state_r = child_state(c_right)
 
-    # ---- dense seed / e2 arrays for the kernel ----
+    # ---- dense seed / e2 arrays for the kernel (ONE packed scatter) ----
+    # Scatter targets can collide: a coarse node that is itself the child
+    # of a coarse node appears both as a tgt_c row and as a tl/tr row.
+    # XLA scatter with duplicate indices is only deterministic if the
+    # duplicate rows carry EQUAL values, so: (a) the child seed state from
+    # `child_state` equals the doubling state (child_state is exactly the
+    # one-step transition the doubling composes), and (b) the child rows
+    # carry the child's OWN coarse e2 (via rank) instead of -1.
     oob = jnp.int32(mm + 5)
     tgt_c = jnp.where(cvalid, cidx, oob)
-    seed = jnp.full((m,), _UNK, I32).at[tgt_c].set(state_c, mode="drop")
     tl = jnp.where(cvalid & (c_left >= 0) & (c_left < m), c_left, oob)
     tr = jnp.where(cvalid & (c_right >= 0) & (c_right < m), c_right, oob)
-    seed = seed.at[tl].set(state_l, mode="drop")
-    seed = seed.at[tr].set(state_r, mode="drop")
-    e2_dense = jnp.full((m,), -1, I32).at[tgt_c].set(e2_c, mode="drop")
+
+    def child_e2(cid):
+        cr = rank[jnp.clip(cid, 0, m - 1)]
+        ce = e2_c[jnp.clip(cr, 0, ccap - 1)]
+        long_child = ((cid >= 0) & (cid < m)
+                      & (is_long[jnp.clip(cid, 0, m - 1)]) & (cr < ccap))
+        return jnp.where(long_child, ce, -1)
+
+    seed_tgt = jnp.concatenate([tgt_c, tl, tr])
+    seed_val = jnp.stack(
+        [jnp.concatenate([state_c, state_l, state_r]),
+         jnp.concatenate([e2_c, child_e2(c_left), child_e2(c_right)])],
+        axis=1,
+    )  # [3*ccap, 2]
+    seed_stage = jnp.full((m, 2), -1, I32).at[:, 0].set(_UNK)
+    seed_stage = seed_stage.at[seed_tgt].set(seed_val, mode="drop")
+    seed = seed_stage[:, 0]
+    e2_dense = seed_stage[:, 1]
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
     W = n
@@ -259,11 +280,19 @@ def collapse_lbvh_to_bvh4(
         meta, node8, leaf8, m, interpret=interpret
     )
 
-    # ---- merge kernel outputs with coarse emission ----
+    # ---- merge kernel outputs with coarse emission (2 packed scatters) --
+    # wide-node rows: child(4) | count(1) | slot AABB bits (4 slots x 6)
+    # in one [m, 29] staging matrix -> ONE row scatter at tgt_w, instead
+    # of four separate scatters (child/count/cmin/cmax) that each pay the
+    # flat TPU scatter-dispatch cost.
     child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)  # [m, 4]
-    count = outm[4, :m]
-    parent_w = outm[6, :m]
-    leaf_parent = outm[7, :W]
+    ka = jnp.stack(
+        [a[0:6, :m] for a in outa], axis=0
+    )  # [4, 6, m] (min3, -max3 bits)
+    ka_rows = ka.transpose(2, 0, 1).reshape(m, 24)  # [m, 4 slots x 6]
+    wide_stage = jnp.concatenate(
+        [child, outm[4, :m][:, None], ka_rows], axis=1
+    )  # [m, 29] all-i32
 
     slots_c = jnp.stack(s_id, axis=1)  # [ccap, 4]
     slots_c = jnp.where(
@@ -271,41 +300,38 @@ def collapse_lbvh_to_bvh4(
     )
     is_wide_c = cvalid & (state_c == _WIDE)
     tgt_w = jnp.where(is_wide_c, cidx, oob)
-    child = child.at[tgt_w].set(slots_c, mode="drop")
-    count = count.at[tgt_w].set(count2, mode="drop")
-    # nodes claimed by a coarse wide parent (internal slots / leaf slots)
+    upd_c = jnp.concatenate(
+        [slots_c, count2[:, None],
+         jnp.stack(s_ab, axis=1).reshape(ccap, 24)],
+        axis=1,
+    )  # [ccap, 29]
+    wide_stage = wide_stage.at[tgt_w].set(upd_c, mode="drop")
+    child = wide_stage[:, 0:4]
+    count = wide_stage[:, 4]
+    ka2 = _bits_f(wide_stage[:, 5:29].reshape(m, 4, 6))
+    cmin = ka2[:, :, 0:3]
+    cmax = -ka2[:, :, 3:6]
+
+    # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
+    # exactly the index space of concat(parent_w, leaf_parent), so one
+    # combined scatter covers both.
+    claims = jnp.concatenate([outm[6, :m], outm[7, :W][:n]])  # [m + n]
     flat_slots = slots_c.reshape(-1)
     flat_owner = jnp.repeat(tgt_w, 4)
-    int_t = jnp.where(
-        (flat_owner < oob) & (flat_slots >= 0) & (flat_slots < m),
-        flat_slots, oob,
+    claim_t = jnp.where(
+        (flat_owner < oob) & (flat_slots >= 0), flat_slots, oob
     )
-    parent_w = parent_w.at[int_t].set(flat_owner, mode="drop")
-    leaf_t = jnp.where(
-        (flat_owner < oob) & (flat_slots >= m), flat_slots - m, oob
-    )
-    leaf_parent = leaf_parent.at[leaf_t].set(flat_owner, mode="drop")
-
-    # slot AABBs: kernel rows -> [m, 4, 3] cmin / cmax, coarse scattered in
-    ka = jnp.stack(
-        [a[0:6, :m] for a in outa], axis=0
-    )  # [4, 6, m] (min3, -max3 bits)
-    ka = _bits_f(ka)
-    cmin = ka[:, 0:3, :].transpose(2, 0, 1)  # [m, 4, 3]
-    cmax = -ka[:, 3:6, :].transpose(2, 0, 1)
-    ab_c = _bits_f(jnp.stack(s_ab, axis=1))  # [ccap, 4, 6]
-    cmin = cmin.at[tgt_w].set(ab_c[:, :, 0:3], mode="drop")
-    cmax = cmax.at[tgt_w].set(-ab_c[:, :, 3:6], mode="drop")
+    claims = claims.at[claim_t].set(flat_owner, mode="drop")
 
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(
         child_min=cmin,
         child_max=cmax,
         child=child,
-        parent=parent_w,
+        parent=claims[:m],
         child_count=count,
         n_nodes=n_nodes,
         leaf_prim=left[m:],
-        leaf_parent=leaf_parent[:n],
+        leaf_parent=claims[m:],
         root=bvh.root.astype(I32),
     )
