@@ -218,7 +218,8 @@ def collapse_lbvh_to_bvh4(
     state_l = child_state(c_left)
     state_r = child_state(c_right)
 
-    # ---- dense seed / e2 arrays for the kernel (ONE packed scatter) ----
+    # ---- dense seed / e2 arrays for the kernel (combined-target 1-D
+    # scatters: one for seeds, one for e2) ----
     # Scatter targets can collide: a coarse node that is itself the child
     # of a coarse node appears both as a tgt_c row and as a tl/tr row.
     # XLA scatter with duplicate indices is only deterministic if the
@@ -238,16 +239,23 @@ def collapse_lbvh_to_bvh4(
                       & (is_long[jnp.clip(cid, 0, m - 1)]) & (cr < ccap))
         return jnp.where(long_child, ce, -1)
 
+    # 1-D scatters only: a 2-D [m, k] staging would pad its minor dim to
+    # 128 lanes on TPU (cost cliff #3) and cost more than the saved
+    # dispatches.
     seed_tgt = jnp.concatenate([tgt_c, tl, tr])
-    seed_val = jnp.stack(
-        [jnp.concatenate([state_c, state_l, state_r]),
-         jnp.concatenate([e2_c, child_e2(c_left), child_e2(c_right)])],
-        axis=1,
-    )  # [3*ccap, 2]
-    seed_stage = jnp.full((m, 2), -1, I32).at[:, 0].set(_UNK)
-    seed_stage = seed_stage.at[seed_tgt].set(seed_val, mode="drop")
-    seed = seed_stage[:, 0]
-    e2_dense = seed_stage[:, 1]
+    seed = (
+        jnp.full((m,), _UNK, I32)
+        .at[seed_tgt]
+        .set(jnp.concatenate([state_c, state_l, state_r]), mode="drop")
+    )
+    e2_dense = (
+        jnp.full((m,), -1, I32)
+        .at[seed_tgt]
+        .set(
+            jnp.concatenate([e2_c, child_e2(c_left), child_e2(c_right)]),
+            mode="drop",
+        )
+    )
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
     W = n
@@ -280,19 +288,9 @@ def collapse_lbvh_to_bvh4(
         meta, node8, leaf8, m, interpret=interpret
     )
 
-    # ---- merge kernel outputs with coarse emission (2 packed scatters) --
-    # wide-node rows: child(4) | count(1) | slot AABB bits (4 slots x 6)
-    # in one [m, 29] staging matrix -> ONE row scatter at tgt_w, instead
-    # of four separate scatters (child/count/cmin/cmax) that each pay the
-    # flat TPU scatter-dispatch cost.
+    # ---- merge kernel outputs with coarse emission ----
     child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)  # [m, 4]
-    ka = jnp.stack(
-        [a[0:6, :m] for a in outa], axis=0
-    )  # [4, 6, m] (min3, -max3 bits)
-    ka_rows = ka.transpose(2, 0, 1).reshape(m, 24)  # [m, 4 slots x 6]
-    wide_stage = jnp.concatenate(
-        [child, outm[4, :m][:, None], ka_rows], axis=1
-    )  # [m, 29] all-i32
+    count = outm[4, :m]
 
     slots_c = jnp.stack(s_id, axis=1)  # [ccap, 4]
     slots_c = jnp.where(
@@ -300,17 +298,19 @@ def collapse_lbvh_to_bvh4(
     )
     is_wide_c = cvalid & (state_c == _WIDE)
     tgt_w = jnp.where(is_wide_c, cidx, oob)
-    upd_c = jnp.concatenate(
-        [slots_c, count2[:, None],
-         jnp.stack(s_ab, axis=1).reshape(ccap, 24)],
-        axis=1,
-    )  # [ccap, 29]
-    wide_stage = wide_stage.at[tgt_w].set(upd_c, mode="drop")
-    child = wide_stage[:, 0:4]
-    count = wide_stage[:, 4]
-    ka2 = _bits_f(wide_stage[:, 5:29].reshape(m, 4, 6))
-    cmin = ka2[:, :, 0:3]
-    cmax = -ka2[:, :, 3:6]
+    child = child.at[tgt_w].set(slots_c, mode="drop")
+    count = count.at[tgt_w].set(count2, mode="drop")
+
+    # slot AABBs: kernel rows -> [m, 4, 3] cmin / cmax, coarse scattered in
+    ka = jnp.stack(
+        [a[0:6, :m] for a in outa], axis=0
+    )  # [4, 6, m] (min3, -max3 bits)
+    ka = _bits_f(ka)
+    cmin = ka[:, 0:3, :].transpose(2, 0, 1)  # [m, 4, 3]
+    cmax = -ka[:, 3:6, :].transpose(2, 0, 1)
+    ab_c = _bits_f(jnp.stack(s_ab, axis=1))  # [ccap, 4, 6]
+    cmin = cmin.at[tgt_w].set(ab_c[:, :, 0:3], mode="drop")
+    cmax = cmax.at[tgt_w].set(-ab_c[:, :, 3:6], mode="drop")
 
     # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
     # exactly the index space of concat(parent_w, leaf_parent), so one

@@ -70,8 +70,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 
-S_LEN = 33  # short node: leaf-range length <= S_LEN
 import os
+
+# short node: leaf-range length <= S_LEN. Every kernel sweep window scales
+# with S_LEN; the XLA coarse crown (and its gather/scatter cost) scales
+# with ~2n/S_LEN. Env-tunable for perf sweeps; any value is byte-exact
+# (the short/coarse split is a work partition, not a semantic one).
+S_LEN = int(os.environ.get("TBVH_COLLAPSE_SLEN", "33"))
+assert 9 <= S_LEN <= 33, "windows derived from S_LEN must fit the halos"
 
 _H = 256  # block halo; >= ownership(33) + state reach (64 + 100)
 # blk + 2*_H -> 128-aligned sublane strips; sized so the kernel's live
