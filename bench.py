@@ -13,21 +13,31 @@ memoized) and per-build time is the slope between two loop lengths. This
 measures pure on-device time, which is what a production (untunneled)
 deployment sees.
 
+Artifact discipline (round-3 lesson: the driver SIGKILLed the run and no
+JSON landed): the ONE stdout JSON line is emitted IMMEDIATELY after the
+headline benches + their structural verification; every later section is
+wall-clock-budgeted (`TPU_BVH_BENCH_BUDGET_S`, default 3000 s) and prints
+`SKIPPED (budget)` instead of being killed mid-row. A final stderr summary
+reports every check that ran, including post-JSON ones.
+
 Verification gate (the on-chip analog of the reference's `_DEBUG` asserts,
 `TwoPassLbvh.cpp:145-152`): every builder's chip-built tree passes the
 structural invariant checkers, the collapsed BVH4 passes its checker and
 matches the CPU oracle byte-for-byte, and the raster render agrees with the
 wavefront engine on every pixel with no pair-budget overflow. Any mismatch
-prints CHECK FAILED and the JSON line carries "verified": false.
+prints CHECK FAILED. The JSON's "verified" covers the checks completed at
+emit time (all builder structural checks on both scenes); `checks_at_emit`
+records how many. Post-JSON check failures still fail the stderr summary.
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup,
-   "verified": bool}
+   "verified": bool, "checks_at_emit": n}
 (vs_baseline > 1 means faster than the reference). Detail goes to stderr.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -91,6 +101,27 @@ SAH_PINS = {
     },
 }
 
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("TPU_BVH_BENCH_BUDGET_S", "3000"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def budget_ok(section: str, need_s: float) -> bool:
+    """True if `section` fits in the remaining wall clock; else prints a
+    loud SKIPPED marker (the artifact records the skip, not a SIGKILL)."""
+    if remaining() >= need_s:
+        return True
+    print(
+        f"SECTION SKIPPED (budget): {section} needs ~{need_s:.0f}s, "
+        f"{remaining():.0f}s left of {BUDGET_S:.0f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    return False
+
 
 def check_sah(name: str, value: float, pin: float | None) -> None:
     if pin is None:
@@ -106,7 +137,7 @@ CHECKS: list[tuple[str, bool]] = []
 def check(name: str, ok: bool) -> None:
     CHECKS.append((name, bool(ok)))
     if not ok:
-        print(f"CHECK FAILED: {name}", file=sys.stderr)
+        print(f"CHECK FAILED: {name}", file=sys.stderr, flush=True)
 
 
 def _slope_time(loop_fn, k_lo=2, k_hi=12, reps=3):
@@ -137,6 +168,7 @@ def _phase_table(tris):
     reported as Total minus this front half."""
     from tpu_bvh.models import lbvh
     from tpu_bvh.ops import morton as M
+    from tpu_bvh.ops import sort as tsort
 
     n = int(tris.shape[0])
 
@@ -187,9 +219,10 @@ def _phase_table(tris):
     def mk_sort(k):
         def body(i, acc):
             c = codes0 + i.astype(jnp.uint32)
-            ops = (c, mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
-            out = lax.sort(ops, num_keys=1, is_stable=True)
-            return acc + out[0][0].astype(jnp.float32) + out[1][0]
+            out = tsort.sort_with_payload(
+                c, (mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
+            )
+            return acc + out[0][0].astype(jnp.float32) + out[1][0][0]
         return lax.fori_loop(0, k, body, 0.0)
 
     def mk_front(k):
@@ -217,14 +250,12 @@ def _phase_table(tris):
 
 
 def main() -> None:
-    import os
-
     from tpu_bvh.models import lbvh, ploc as ploc_models
     from tpu_bvh.utils import scenes, validate
     from tpu_bvh.utils.cost import sah_cost_bvh2, sah_cost_bvh4
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    print(f"device: {dev}", file=sys.stderr, flush=True)
 
     n_scene = int(os.environ.get("TPU_BVH_BENCH_N", 262_000))
     scene_list = [("sponza_like", scenes.sponza_like(n_scene))]
@@ -245,28 +276,7 @@ def main() -> None:
         if scene_name == "sponza_like":
             tris = t_scene
         n = int(t_scene.shape[0])
-        print(f"scene: {scene_name} {n} tris", file=sys.stderr)
-
-        # per-phase front table (reference report block analog), sponza only
-        if scene_name == "sponza_like":
-            phases = _phase_table(t_scene)
-            front_ms = phases.get("front", float("nan"))
-            ref_front = sum(
-                REF_PHASES_MS[k] for k in ("extents", "morton", "sort")
-            )
-            print("phase table (ms, vs reference single-pass sponza):",
-                  file=sys.stderr)
-            for name in ("extents", "morton", "sort"):
-                # cheap phases sit at tunnel-noise level; clamp the slope
-                ours = max(phases.get(name, float("nan")), 1e-3)
-                ref = REF_PHASES_MS[name]
-                print(
-                    f"  {name:8s} {ours:7.3f}  (ref {ref:.3f} -> "
-                    f"{ref/ours:5.2f}x)",
-                    file=sys.stderr,
-                )
-            print(f"  front    {front_ms:7.3f}  (ref {ref_front:.3f} -> "
-                  f"{ref_front/front_ms:5.2f}x)", file=sys.stderr)
+        print(f"scene: {scene_name} {n} tris", file=sys.stderr, flush=True)
 
         for name, build in builders.items():
             def build_loop(k, build=build, t_scene=t_scene):
@@ -285,6 +295,7 @@ def main() -> None:
                     f"{scene_name}/{name}: total {ms:.3f} ms "
                     f"vs ref {ref_total:.3f} ms -> {ref_total/ms:.2f}x",
                     file=sys.stderr,
+                    flush=True,
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"{scene_name}/{name} bench failed: {e!r}", file=sys.stderr)
@@ -304,11 +315,57 @@ def main() -> None:
                 check(f"{scene_name}_{name}_bvh2_correct", ok_tree)
                 check_sah(f"{scene_name}_{name}", c, pins.get(name))
                 print(f"{scene_name}/{name}: sah_bvh2 {c:.2f} verified="
-                      f"{ok_root and ok_tree}", file=sys.stderr)
+                      f"{ok_root and ok_tree}", file=sys.stderr, flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"{scene_name}/{name} verify failed: {e!r}", file=sys.stderr)
                 check(f"{scene_name}_{name}_verify_ran", False)
     n = int(tris.shape[0])
+
+    # ---- EMIT THE ARTIFACT NOW (round-3 lesson: rc=124 lost everything
+    # after this point; the headline + its verification are complete) ----
+    verified_at_emit = all(ok for _, ok in CHECKS) and bool(CHECKS)
+    value = results.get(("sponza_like", HEADLINE))
+    if value is None:
+        print(json.dumps({"metric": "sponza_260k_lbvh_build_ms", "value": -1,
+                          "unit": "ms", "vs_baseline": 0, "verified": False}),
+              flush=True)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "sponza_260k_singlepass_lbvh_build_ms",
+                    "value": round(value, 4),
+                    "unit": "ms",
+                    "vs_baseline": round(
+                        BASELINES_MS["sponza_like"][HEADLINE] / value, 4
+                    ),
+                    "verified": verified_at_emit,
+                    "checks_at_emit": len(CHECKS),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- per-phase front table (reference report block analog) ----
+    if budget_ok("phase_table", 240):
+        phases = _phase_table(tris)
+        front_ms = phases.get("front", float("nan"))
+        ref_front = sum(
+            REF_PHASES_MS[k] for k in ("extents", "morton", "sort")
+        )
+        print("phase table (ms, vs reference single-pass sponza):",
+              file=sys.stderr)
+        for name in ("extents", "morton", "sort"):
+            # cheap phases sit at tunnel-noise level; clamp the slope
+            ours = max(phases.get(name, float("nan")), 1e-3)
+            ref = REF_PHASES_MS[name]
+            print(
+                f"  {name:8s} {ours:7.3f}  (ref {ref:.3f} -> "
+                f"{ref/ours:5.2f}x)",
+                file=sys.stderr,
+            )
+        print(f"  front    {front_ms:7.3f}  (ref {ref_front:.3f} -> "
+              f"{ref_front/front_ms:5.2f}x)", file=sys.stderr, flush=True)
 
     # ---- BVH2 -> BVH4 collapse (reference: 3.32 ms sponza single-pass) ----
     # Timed path: the blocked fast collapse (ops/collapse_fast.py) on the
@@ -317,217 +374,193 @@ def main() -> None:
     # against the sequential CPU oracle below. The queue-ordered slab BFS
     # (ops/collapse.py) remains the general-tree path and its own oracle
     # gate keeps running.
-    try:
-        from tpu_bvh.ops import collapse as collapse_ops
-        from tpu_bvh.ops.collapse_fast import collapse_lbvh_to_bvh4
+    if budget_ok("collapse", 300):
+        try:
+            from tpu_bvh.ops import collapse as collapse_ops
+            from tpu_bvh.ops.collapse_fast import collapse_lbvh_to_bvh4
 
-        bvh0, parent0, first0, last0 = jax.block_until_ready(
-            lbvh.build_single_pass_aux(tris)
-        )
+            bvh0, parent0, first0, last0 = jax.block_until_ready(
+                lbvh.build_single_pass_aux(tris)
+            )
 
-        def collapse_loop(k):
-            def body(i, acc):
-                b = bvh0._replace(
-                    packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
-                )
-                wide = collapse_lbvh_to_bvh4(b, parent0, first0, last0)
-                return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
+            def collapse_loop(k):
+                def body(i, acc):
+                    b = bvh0._replace(
+                        packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
+                    )
+                    wide = collapse_lbvh_to_bvh4(b, parent0, first0, last0)
+                    return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
 
-            return lax.fori_loop(0, k, body, 0.0)
+                return lax.fori_loop(0, k, body, 0.0)
 
-        ms = _slope_time(collapse_loop, k_lo=1, k_hi=4)
-        print(
-            f"collapse(fast): {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
-            f"{REF_COLLAPSE_MS/ms:.2f}x)",
-            file=sys.stderr,
-        )
+            ms = _slope_time(collapse_loop, k_lo=1, k_hi=4)
+            print(
+                f"collapse(fast): {ms:.3f} ms (vs ref {REF_COLLAPSE_MS:.3f} ms -> "
+                f"{REF_COLLAPSE_MS/ms:.2f}x)",
+                file=sys.stderr,
+                flush=True,
+            )
 
-        # BVH4 SAH (the reference's regression oracle, Utility.cpp:351-396)
-        # + collapse quality-improvement ratio (~2.2x claimed, README.md:19)
-        wide = jax.block_until_ready(
-            collapse_lbvh_to_bvh4(bvh0, parent0, first0, last0)
-        )
-        from tpu_bvh.ops.aabb import triangle_aabbs
+            # BVH4 SAH (the reference's regression oracle, Utility.cpp:351-396)
+            # + collapse quality-improvement ratio (~2.2x claimed, README.md:19)
+            wide = jax.block_until_ready(
+                collapse_lbvh_to_bvh4(bvh0, parent0, first0, last0)
+            )
+            from tpu_bvh.ops.aabb import triangle_aabbs
 
-        pmn, pmx = triangle_aabbs(tris)
-        c4 = float(sah_cost_bvh4(wide, pmn, pmx))
-        c2 = sah2.get(("sponza_like", "single_pass"), float("nan"))
-        print(
-            f"collapse: sah_bvh4 {c4:.2f} (bvh2 {c2:.2f} -> "
-            f"improvement {c2/c4:.2f}x; ref claims ~2.2x)",
-            file=sys.stderr,
-        )
-        check("bvh4_correct", validate.check_bvh4_correctness(wide, n))
-        if n == 261996:
-            check_sah("sponza_bvh4", c4, SAH_PINS["sponza_like"].get("bvh4"))
+            pmn, pmx = triangle_aabbs(tris)
+            c4 = float(sah_cost_bvh4(wide, pmn, pmx))
+            c2 = sah2.get(("sponza_like", "single_pass"), float("nan"))
+            print(
+                f"collapse: sah_bvh4 {c4:.2f} (bvh2 {c2:.2f} -> "
+                f"improvement {c2/c4:.2f}x; ref claims ~2.2x)",
+                file=sys.stderr,
+                flush=True,
+            )
+            check("bvh4_correct", validate.check_bvh4_correctness(wide, n))
+            if n == 261996:
+                check_sah("sponza_bvh4", c4, SAH_PINS["sponza_like"].get("bvh4"))
 
-        # chip collapse == CPU oracle, byte-for-byte, at an oracle-sized
-        # scene (the full CPU collapse is a Python loop; 16K is plenty to
-        # catch numeric or routing drift on the chip)
-        tris_small = jax.device_put(
-            jnp.asarray(scenes.sponza_like(16_384)), dev
-        )
-        b_small, p_small, f_small, l_small = jax.block_until_ready(
-            lbvh.build_single_pass_aux(tris_small)
-        )
-        w_gpu = jax.block_until_ready(
-            collapse_ops.collapse_bvh2_to_bvh4(b_small)
-        )
-        from tpu_bvh.utils.cpu_reference import collapse_cpu
+            # chip collapse == CPU oracle, byte-for-byte, at an oracle-sized
+            # scene (the full CPU collapse is a Python loop; 16K is plenty to
+            # catch numeric or routing drift on the chip)
+            tris_small = jax.device_put(
+                jnp.asarray(scenes.sponza_like(16_384)), dev
+            )
+            b_small, p_small, f_small, l_small = jax.block_until_ready(
+                lbvh.build_single_pass_aux(tris_small)
+            )
+            w_gpu = jax.block_until_ready(
+                collapse_ops.collapse_bvh2_to_bvh4(b_small)
+            )
+            from tpu_bvh.utils.cpu_reference import collapse_cpu
 
-        w_cpu = collapse_cpu(b_small)
+            w_cpu = collapse_cpu(b_small)
 
-        # fast path: byte-exact up to the explicit wide-node isomorphism
-        # (the oracle's b2_node array maps BFS numbering -> sparse ids)
-        w_fast = jax.block_until_ready(
-            collapse_lbvh_to_bvh4(b_small, p_small, f_small, l_small)
-        )
-        b2 = w_cpu["b2_node"]
-        kk0 = w_cpu["n_nodes"]
-        used = b2[:kk0]
-        fok = int(w_fast.n_nodes) == kk0
-        fok &= np.array_equal(
-            np.asarray(w_fast.child_count)[used], w_cpu["child_count"][:kk0]
-        )
-        su = np.arange(4)[None, :] < w_cpu["child_count"][:kk0][:, None]
-        o_child = w_cpu["child"][:kk0]
-        remap = np.where(
-            (o_child >= 0) & (o_child < w_fast.n_internal_cap),
-            b2[np.clip(o_child, 0, len(b2) - 1)], o_child,
-        )
-        fok &= np.array_equal(np.asarray(w_fast.child)[used], remap)
-        fok &= np.array_equal(
-            np.asarray(w_fast.child_min)[used][su],
-            w_cpu["child_min"][:kk0][su],
-        )
-        fok &= np.array_equal(
-            np.asarray(w_fast.child_max)[used][su],
-            w_cpu["child_max"][:kk0][su],
-        )
-        check("collapse_fast_matches_cpu_oracle", bool(fok))
-        # compare only USED slots (< n_nodes; AABBs only where a child
-        # exists) — unused padding holds whatever the kernel left there,
-        # exactly like tests/test_collapse.py. Round 2's gate compared the
-        # full arrays and falsely failed on stale padding.
-        ok = int(w_gpu.n_nodes) == w_cpu["n_nodes"]
-        kk = w_cpu["n_nodes"]
-        slots = w_cpu["child"][:kk] >= 0
-        for f, exact, mask in [
-            ("child", True, None),
-            ("parent", True, None),
-            ("child_count", True, None),
-            ("leaf_prim", True, "full"),
-            ("leaf_parent", True, "full"),
-            ("child_min", False, "slots"),
-            ("child_max", False, "slots"),
-        ]:
-            a = np.asarray(getattr(w_gpu, f))
-            b = np.asarray(w_cpu[f])  # collapse_cpu returns a dict
-            if mask != "full":
-                a, b = a[:kk], b[:kk]
-            if mask == "slots":
-                a, b = a[slots], b[slots]
-            same = np.array_equal(a, b) if exact else np.allclose(a, b)
-            if not same:
-                ok = False
-                print(f"collapse oracle mismatch in {f}", file=sys.stderr)
-        check("collapse_matches_cpu_oracle", ok)
-    except Exception as e:  # noqa: BLE001
-        print(f"collapse bench failed: {e!r}", file=sys.stderr)
-        check("collapse_ran", False)
+            # fast path: byte-exact up to the explicit wide-node isomorphism
+            # (the oracle's b2_node array maps BFS numbering -> sparse ids)
+            w_fast = jax.block_until_ready(
+                collapse_lbvh_to_bvh4(b_small, p_small, f_small, l_small)
+            )
+            b2 = w_cpu["b2_node"]
+            kk0 = w_cpu["n_nodes"]
+            used = b2[:kk0]
+            fok = int(w_fast.n_nodes) == kk0
+            fok &= np.array_equal(
+                np.asarray(w_fast.child_count)[used], w_cpu["child_count"][:kk0]
+            )
+            su = np.arange(4)[None, :] < w_cpu["child_count"][:kk0][:, None]
+            o_child = w_cpu["child"][:kk0]
+            remap = np.where(
+                (o_child >= 0) & (o_child < w_fast.n_internal_cap),
+                b2[np.clip(o_child, 0, len(b2) - 1)], o_child,
+            )
+            fok &= np.array_equal(np.asarray(w_fast.child)[used], remap)
+            fok &= np.array_equal(
+                np.asarray(w_fast.child_min)[used][su],
+                w_cpu["child_min"][:kk0][su],
+            )
+            fok &= np.array_equal(
+                np.asarray(w_fast.child_max)[used][su],
+                w_cpu["child_max"][:kk0][su],
+            )
+            check("collapse_fast_matches_cpu_oracle", bool(fok))
+            # compare only USED slots (< n_nodes; AABBs only where a child
+            # exists) — unused padding holds whatever the kernel left there,
+            # exactly like tests/test_collapse.py. Round 2's gate compared the
+            # full arrays and falsely failed on stale padding.
+            ok = int(w_gpu.n_nodes) == w_cpu["n_nodes"]
+            kk = w_cpu["n_nodes"]
+            slots = w_cpu["child"][:kk] >= 0
+            for f, exact, mask in [
+                ("child", True, None),
+                ("parent", True, None),
+                ("child_count", True, None),
+                ("leaf_prim", True, "full"),
+                ("leaf_parent", True, "full"),
+                ("child_min", False, "slots"),
+                ("child_max", False, "slots"),
+            ]:
+                a = np.asarray(getattr(w_gpu, f))
+                b = np.asarray(w_cpu[f])  # collapse_cpu returns a dict
+                if mask != "full":
+                    a, b = a[:kk], b[:kk]
+                if mask == "slots":
+                    a, b = a[slots], b[slots]
+                same = np.array_equal(a, b) if exact else np.allclose(a, b)
+                if not same:
+                    ok = False
+                    print(f"collapse oracle mismatch in {f}", file=sys.stderr)
+            check("collapse_matches_cpu_oracle", ok)
+        except Exception as e:  # noqa: BLE001
+            print(f"collapse bench failed: {e!r}", file=sys.stderr)
+            check("collapse_ran", False)
 
     # batched tiny-mesh throughput (the reference's 4096-mesh demo,
     # main.cpp:39-47; no reference timing published)
-    try:
-        from tpu_bvh.models import batched
+    if budget_ok("batched", 180):
+        try:
+            from tpu_bvh.models import batched
 
-        n_meshes = 4096
-        base = np.asarray(scenes.cornellbox(), np.float32)
-        tris_b = jnp.asarray(
-            np.broadcast_to(base, (n_meshes, *base.shape)).copy()
-        )
-
-        def batched_loop(k):
-            def body(i, acc):
-                t = tris_b + (i.astype(jnp.float32) * 1e-7)
-                b = batched.build_batched(t)
-                return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
-
-            return lax.fori_loop(0, k, body, 0.0)
-
-        # wide k spread: per-iter cost (~0.065 ms) is small vs tunnel
-        # dispatch noise; 4->64 puts ~4 ms of work in the delta (a 2->16
-        # spread still produced negative slopes on the tunneled chip)
-        ms = _slope_time(batched_loop, k_lo=4, k_hi=64, reps=5)
-        if ms > 0:
-            print(
-                f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
-                f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
-                file=sys.stderr,
+            n_meshes = 4096
+            base = np.asarray(scenes.cornellbox(), np.float32)
+            tris_b = jnp.asarray(
+                np.broadcast_to(base, (n_meshes, *base.shape)).copy()
             )
-        else:
-            print(
-                f"batched: slope {ms:.3f} ms below dispatch noise floor "
-                f"(> {n_meshes*1e3/0.3/1e6:.0f} M meshes/s)",
-                file=sys.stderr,
-            )
-    except Exception as e:  # noqa: BLE001
-        print(f"batched bench failed: {e!r}", file=sys.stderr)
+
+            def batched_loop(k):
+                def body(i, acc):
+                    t = tris_b + (i.astype(jnp.float32) * 1e-7)
+                    b = batched.build_batched(t)
+                    return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
+
+                return lax.fori_loop(0, k, body, 0.0)
+
+            # wide k spread: per-iter cost (~0.065 ms) is small vs tunnel
+            # dispatch noise; 4->64 puts ~4 ms of work in the delta (a 2->16
+            # spread still produced negative slopes on the tunneled chip)
+            ms = _slope_time(batched_loop, k_lo=4, k_hi=64, reps=5)
+            if ms > 0:
+                print(
+                    f"batched: {n_meshes} meshes x32 prims in {ms:.3f} ms "
+                    f"= {n_meshes/ms*1e3/1e6:.2f} M meshes/s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            else:
+                print(
+                    f"batched: slope {ms:.3f} ms below dispatch noise floor "
+                    f"(> {n_meshes*1e3/0.3/1e6:.0f} M meshes/s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"batched bench failed: {e!r}", file=sys.stderr)
 
     # ---- traversal/render throughput, 512x512 primary rays on sponza ----
     # raster engine (the TPU-native fast path); verified pixel-for-pixel
     # against the wavefront engine with the overflow flag asserted.
-    try:
-        from tpu_bvh.ops import raster, raster_tpu, traverse
-        from tpu_bvh.utils import camera
+    if budget_ok("raster", 420):
+        try:
+            from tpu_bvh.ops import raster, raster_tpu, traverse
+            from tpu_bvh.utils import camera
 
-        bvh = lbvh.build_single_pass(tris)
-        tr, cam = scenes.preset("sponza")
-        w = h = 512
-        rays = camera.generate_rays(cam, w, h)
-        rpack = raster.pack_raster(bvh, tris, leaf_size=64)
+            bvh = lbvh.build_single_pass(tris)
+            tr, cam = scenes.preset("sponza")
+            w = h = 512
+            rays = camera.generate_rays(cam, w, h)
+            rpack = raster.pack_raster(bvh, tris, leaf_size=64)
 
-        def raster_loop(k):
-            def body(i, carry):
-                acc, any_ovf = carry
-                r2 = rays._replace(
-                    direction=rays.direction
-                    * (1.0 + i.astype(jnp.float32) * 1e-7)
-                )
-                hit, _c, ovf = raster_tpu._render_tpu_impl(
-                    rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                    w, h, 1024, 4096, 32, 64, False,
-                )
-                return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
-
-            acc, any_ovf = lax.fori_loop(
-                0, k, body, (0.0, jnp.zeros((), bool))
-            )
-            return acc + any_ovf.astype(jnp.float32)
-
-        ms = _slope_time(raster_loop, k_lo=2, k_hi=8, reps=3)
-        mrays = (w * h) / (ms * 1e-3) / 1e6
-        print(
-            f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s "
-            f"(target 200)",
-            file=sys.stderr,
-        )
-
-        # 1920x1080 row — BASELINE.md's stated target resolution
-        if not os.environ.get("TPU_BVH_BENCH_FAST"):
-            wf, hf = 1920, 1080
-            rays_f = camera.generate_rays(cam, wf, hf)
-
-            def raster_1080(k):
+            def raster_loop(k):
                 def body(i, carry):
                     acc, any_ovf = carry
-                    r2 = rays_f._replace(
-                        direction=rays_f.direction
+                    r2 = rays._replace(
+                        direction=rays.direction
                         * (1.0 + i.astype(jnp.float32) * 1e-7)
                     )
                     hit, _c, ovf = raster_tpu._render_tpu_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                        wf, hf, 1024, 4096, 32, 64, False,
+                        w, h, 1024, 4096, 32, 64, False,
                     )
                     return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
 
@@ -536,44 +569,81 @@ def main() -> None:
                 )
                 return acc + any_ovf.astype(jnp.float32)
 
-            ms_f = _slope_time(raster_1080, k_lo=1, k_hi=4, reps=3)
-            mrays_f = (wf * hf) / (ms_f * 1e-3) / 1e6
+            ms = _slope_time(raster_loop, k_lo=2, k_hi=8, reps=3)
+            mrays = (w * h) / (ms * 1e-3) / 1e6
             print(
-                f"render(raster): {ms_f:.3f} ms for {wf}x{hf} = "
-                f"{mrays_f:.1f} Mrays/s (target 200 @1080p)",
+                f"render(raster): {ms:.3f} ms for {w}x{h} = {mrays:.1f} Mrays/s "
+                f"(target 200)",
                 file=sys.stderr,
+                flush=True,
             )
 
-        # overflow + wavefront cross-check at the bench's exact pair budget
-        hit_k, _ck, ovf = raster_tpu._render_tpu_impl(
-            rpack.tris_sorted, rpack.prim_ids, rays, tr,
-            w, h, 1024, 4096, 32, 64, False,
-        )
-        check("raster_no_overflow", not bool(ovf))
-        packed = traverse.pack_bvh2(bvh, tris)
-        hit_o, _ = traverse.traverse_packed(packed, bvh.n_internal, bvh.root, rays, tr)
-        pk = np.asarray(hit_k.prim_idx)
-        po = np.asarray(hit_o.prim_idx)
-        tk = np.asarray(hit_k.t)
-        to = np.asarray(hit_o.t)
-        both = pk >= 0
-        same_found = np.array_equal(pk >= 0, po >= 0)
-        t_match = np.allclose(tk[both], to[both], rtol=1e-4)
-        diff = both & (pk != po)
-        # differing prims allowed only on exact-t ties
-        ties_ok = np.allclose(tk[diff], to[diff], rtol=1e-3) if diff.any() else True
-        check("raster_matches_wavefront", same_found and t_match and ties_ok)
-        print(
-            f"render verify: {int(both.sum())} hits, prim match "
-            f"{int((both & (pk == po)).sum())}/{int(both.sum())}, "
-            f"overflow={bool(ovf)}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"raster bench failed: {e!r}", file=sys.stderr)
-        check("raster_ran", False)
+            # 1920x1080 row — BASELINE.md's stated target resolution
+            if not os.environ.get("TPU_BVH_BENCH_FAST") and budget_ok(
+                "raster_1080p", 240
+            ):
+                wf, hf = 1920, 1080
+                rays_f = camera.generate_rays(cam, wf, hf)
 
-    if True:  # wavefront row runs by default (round-2 verdict item 5)
+                def raster_1080(k):
+                    def body(i, carry):
+                        acc, any_ovf = carry
+                        r2 = rays_f._replace(
+                            direction=rays_f.direction
+                            * (1.0 + i.astype(jnp.float32) * 1e-7)
+                        )
+                        hit, _c, ovf = raster_tpu._render_tpu_impl(
+                            rpack.tris_sorted, rpack.prim_ids, r2, tr,
+                            wf, hf, 1024, 4096, 32, 64, False,
+                        )
+                        return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
+
+                    acc, any_ovf = lax.fori_loop(
+                        0, k, body, (0.0, jnp.zeros((), bool))
+                    )
+                    return acc + any_ovf.astype(jnp.float32)
+
+                ms_f = _slope_time(raster_1080, k_lo=1, k_hi=4, reps=3)
+                mrays_f = (wf * hf) / (ms_f * 1e-3) / 1e6
+                print(
+                    f"render(raster): {ms_f:.3f} ms for {wf}x{hf} = "
+                    f"{mrays_f:.1f} Mrays/s (target 200 @1080p)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
+            # overflow + wavefront cross-check at the bench's exact pair budget
+            hit_k, _ck, ovf = raster_tpu._render_tpu_impl(
+                rpack.tris_sorted, rpack.prim_ids, rays, tr,
+                w, h, 1024, 4096, 32, 64, False,
+            )
+            check("raster_no_overflow", not bool(ovf))
+            packed = traverse.pack_bvh2(bvh, tris)
+            hit_o, _ = traverse.traverse_packed(packed, bvh.n_internal, bvh.root, rays, tr)
+            pk = np.asarray(hit_k.prim_idx)
+            po = np.asarray(hit_o.prim_idx)
+            tk = np.asarray(hit_k.t)
+            to = np.asarray(hit_o.t)
+            both = pk >= 0
+            same_found = np.array_equal(pk >= 0, po >= 0)
+            t_match = np.allclose(tk[both], to[both], rtol=1e-4)
+            diff = both & (pk != po)
+            # differing prims allowed only on exact-t ties
+            ties_ok = np.allclose(tk[diff], to[diff], rtol=1e-3) if diff.any() else True
+            check("raster_matches_wavefront", same_found and t_match and ties_ok)
+            print(
+                f"render verify: {int(both.sum())} hits, prim match "
+                f"{int((both & (pk == po)).sum())}/{int(both.sum())}, "
+                f"overflow={bool(ovf)}",
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"raster bench failed: {e!r}", file=sys.stderr)
+            check("raster_ran", False)
+
+    # wavefront row runs by default (round-2 verdict item 5)
+    if budget_ok("wavefront", 180):
         try:
             from tpu_bvh.ops import traverse
             from tpu_bvh.utils import camera
@@ -601,34 +671,55 @@ def main() -> None:
             print(
                 f"traversal(packed wavefront): {ms:.3f} ms = {mrays:.1f} Mrays/s",
                 file=sys.stderr,
+                flush=True,
             )
         except Exception as e:  # noqa: BLE001
             print(f"traversal bench failed: {e!r}", file=sys.stderr)
 
+    # ---- multi-device CPU scaling smoke table (verdict r3 item 10):
+    # 2/4/8 virtual CPU devices, sharded batched + sharded single-scene
+    # builds — quantifies multi-chip readiness beyond the dryrun. Runs in a
+    # subprocess (the TPU backend is already initialized in-process).
+    if budget_ok("scaling_table", 240):
+        try:
+            import subprocess
+
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            out = subprocess.run(
+                [sys.executable, "tools/scaling_table.py"],
+                capture_output=True,
+                text=True,
+                timeout=max(60, min(remaining(), 300)),
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stderr.write(out.stdout)
+            if out.returncode != 0:
+                print(
+                    f"scaling table failed (rc={out.returncode}): "
+                    f"{out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"scaling table failed: {e!r}", file=sys.stderr)
+
     verified = all(ok for _, ok in CHECKS) and bool(CHECKS)
     n_fail = sum(1 for _, ok in CHECKS if not ok)
     print(
-        f"verification: {len(CHECKS) - n_fail}/{len(CHECKS)} checks passed",
+        f"verification: {len(CHECKS) - n_fail}/{len(CHECKS)} checks passed"
+        f" (all sections){'' if verified else ' — FAILURES ABOVE'}",
         file=sys.stderr,
+        flush=True,
     )
-
-    value = results.get(("sponza_like", HEADLINE))
-    if value is None:
-        print(json.dumps({"metric": "sponza_260k_lbvh_build_ms", "value": -1,
-                          "unit": "ms", "vs_baseline": 0, "verified": False}))
-        return
     print(
-        json.dumps(
-            {
-                "metric": "sponza_260k_singlepass_lbvh_build_ms",
-                "value": round(value, 4),
-                "unit": "ms",
-                "vs_baseline": round(
-                    BASELINES_MS["sponza_like"][HEADLINE] / value, 4
-                ),
-                "verified": verified,
-            }
-        )
+        f"wall clock: {time.monotonic() - T0:.0f}s of {BUDGET_S:.0f}s budget",
+        file=sys.stderr,
+        flush=True,
     )
 
 

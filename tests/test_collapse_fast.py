@@ -112,3 +112,51 @@ def test_duplicate_codes(rng):
     base = random_tris(rng, 64)
     tris = np.repeat(base, 16, axis=0)
     _run(tris)
+
+
+def _caterpillar_tris(n_cluster=330, n_chain=26):
+    """Chain-shaped crown: a tight cluster (balanced subtree, short ranges)
+    plus geometrically-spaced outliers along x. Every chain ancestor's
+    range contains the whole cluster -> range length > S_LEN -> long, and
+    the long count exceeds the bushy-tree capacity 2n/(S_LEN+1)+2 (the
+    ADVICE r3 repro: the old static ccap silently produced a wrong BVH4)."""
+    tris = []
+    for i in range(n_cluster):
+        x = 1e-4 * (i / n_cluster)
+        tris.append([[x, 0, 0], [x + 1e-6, 1e-6, 0], [x, 0, 1e-6]])
+    for i in range(n_chain):
+        x = 2.0 ** (i - n_chain)  # 2^-26 ... 0.5: one new top bit each
+        tris.append([[x, 0, 0], [x + 1e-6, 1e-6, 0], [x, 0, 1e-6]])
+    return np.asarray(tris, np.float32)
+
+
+def test_chain_crown_overflow():
+    """Regression (ADVICE r3, high): caterpillar crowns overflow the static
+    coarse capacity; the lax.cond fallback must keep the tree exact."""
+    from tpu_bvh.ops.pallas.collapse_block import S_LEN
+
+    tris = _caterpillar_tris()
+    n = tris.shape[0]
+    bvh, parent, first, last = lbvh.build_single_pass_aux(
+        jnp.asarray(tris)
+    )
+    n_long = int(np.sum(np.asarray(last - first + 1) > S_LEN))
+    ccap = 2 * n // (S_LEN + 1) + 2
+    assert n_long > ccap, (
+        f"fixture no longer overflows the crown capacity "
+        f"(n_long={n_long}, ccap={ccap}) — deepen the chain"
+    )
+    _run(tris)
+
+
+def test_random_multiblock_small_blk(rng, monkeypatch):
+    """Force blk=512 so the block-halo stitching paths run in the default
+    suite (ADVICE r3: at the production blk, 3000 tris is grid=1)."""
+    from tpu_bvh.ops.pallas import collapse_block
+
+    monkeypatch.setattr(collapse_block, "_BLK", 512)
+    collapse_lbvh_to_bvh4.clear_cache()  # _BLK is read at trace time
+    try:
+        _run(random_tris(rng, 3000, spread=30.0))
+    finally:
+        collapse_lbvh_to_bvh4.clear_cache()

@@ -126,3 +126,21 @@ def test_build_from_split_refs(rng):
     prims = validate.collect_leaf_prims(bvh)
     assert len(prims) == len(idx)
     assert set(prims.tolist()) == set(range(40))
+
+
+def test_pallas_kernel_report():
+    """Introspection parity (`Kernel.cpp:170-182` analog): every pallas_call
+    in a build is reported with grid + VMEM working set."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_bvh.ops.pallas.scan32 import scan_core
+    from tpu_bvh.utils.introspect import pallas_kernel_report
+
+    d = jnp.asarray(np.random.default_rng(0).integers(2, 31, 8192), jnp.int32)
+    reports = pallas_kernel_report(lambda x: scan_core(x), d)
+    assert len(reports) == 1
+    r = reports[0]
+    assert r["grid"] == (2,)
+    assert r["vmem_working_set_bytes"] > 0
+    assert all(b["bytes"] > 0 for b in r["buffers"])

@@ -7,8 +7,7 @@ import jax.numpy as jnp
 from jax import lax
 sys.path.insert(0, ".")
 from tpu_bvh.models import lbvh
-from tpu_bvh.ops import morton, sort as tsort, extents, radix_tree, refit
-from tpu_bvh.ops.aabb import triangle_aabbs
+from tpu_bvh.ops import radix_tree, refit
 from tpu_bvh.utils import scenes
 I32 = jnp.int32
 
@@ -24,13 +23,8 @@ def slope(loop_fn, k_lo=1, k_hi=9, reps=5):
 
 n = 262_000
 tris = jnp.asarray(scenes.sponza_like(n))
-pmin, pmax = triangle_aabbs(tris)
-lo, hi = extents.scene_extents(pmin, pmax)
-codes = morton.extended_morton_codes(0.5 * (pmin + pmax), pmin, pmax, lo, hi)
-skey, sidx = tsort.sort_codes(codes)
-leaf_packed = jnp.concatenate([pmin[sidx], -pmax[sidx]], axis=1).T
-leaf_packed = jax.block_until_ready(leaf_packed)
-codes_s = jax.block_until_ready(skey)
+codes_s, leaf_packed, leaf_prim = jax.block_until_ready(
+    jax.jit(lambda t: lbvh._sorted_leaves_from_tris(t, True))(tris))
 from tpu_bvh.ops.radix_tree import adjacent_deltas, _topology_scans
 from tpu_bvh.ops.pallas.scan32 import scan_core
 
@@ -70,6 +64,15 @@ def mk_build(k):
         return acc + out[3][0, 0]
     return lax.fori_loop(0, k, body, jnp.float32(0))
 print(f"apetrei_build_packed_full : {slope(mk_build):7.3f} ms", flush=True)
+
+# front half (extents+morton+sort)
+def mk_front(k):
+    def body(i, acc):
+        c, lpk, lp = lbvh._sorted_leaves_from_tris(
+            tris + i.astype(jnp.float32) * 1e-7, True)
+        return acc + c[0].astype(jnp.float32) + lpk[0, 0]
+    return lax.fori_loop(0, k, body, jnp.float32(0))
+print(f"front (ext+morton+sort)   : {slope(mk_front):7.3f} ms", flush=True)
 
 # end-to-end single pass
 def mk_e2e(k):

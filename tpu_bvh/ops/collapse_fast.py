@@ -24,9 +24,14 @@ Three stages (see `pallas/collapse_block.py` for the locality argument):
   3. Pallas blocked kernel: everything else for the ~96% short nodes.
   4. Merge: scatter coarse rows into the kernel's dense outputs.
 
-The coarse capacity is static and SAFE: a node with leaf range > S_LEN has
-> S_LEN leaves, and a binary tree has < 2n/K nodes with >= K leaves each,
-so cap = 2n//(S_LEN+1) + 2 can never overflow.
+The coarse capacity is static but only a HEURISTIC bound: 2n/(S_LEN+1)
+covers bushy trees (each long node would need > S_LEN *disjoint* leaves for
+that bound, which chain-shaped trees violate — a caterpillar's ancestor
+chain is long at every node, so the true worst case is n_long == m). A
+`lax.cond` therefore dispatches on the measured n_long: the common branch
+runs the coarse stage at the compact capacity; the overflow branch re-runs
+the SAME stage at capacity m (slower — full-size gathers — but exact), so
+degenerate scenes are correct instead of silently wrong.
 """
 from __future__ import annotations
 
@@ -65,8 +70,35 @@ def collapse_lbvh_to_bvh4(
     included). first/last: i32[n-1] inclusive leaf ranges."""
     n = bvh.n_leaves
     m = bvh.n_internal
-    mm = bvh.n_nodes
     assert m >= 1, "collapse needs at least 2 leaves"
+    # packed pointer-doubling encodes ptr*64+fenc in i32 and the coarse sort
+    # sentinel is 2^30 (cvalid tests < 2^29), so node ids must fit 22 bits
+    assert m < (1 << 22), "collapse packing requires < 2^22 internal nodes"
+
+    rlen = last - first + 1
+    is_long = rlen > S_LEN  # bool[m]
+    ccap = 2 * n // (S_LEN + 1) + 2
+    ccap = min(ccap, m)
+    if ccap >= m:
+        return _collapse_impl(bvh, parent, is_long, m, interpret)
+    # chain-shaped crowns (caterpillar Morton runs) can exceed the bushy-tree
+    # capacity heuristic; dispatch on the measured long count (ADVICE r3)
+    n_long = jnp.sum(is_long.astype(I32))
+    return lax.cond(
+        n_long <= ccap,
+        lambda: _collapse_impl(bvh, parent, is_long, ccap, interpret),
+        lambda: _collapse_impl(bvh, parent, is_long, m, interpret),
+    )
+
+
+def _collapse_impl(
+    bvh: Bvh2, parent, is_long, ccap: int, interpret: bool
+) -> Bvh4:
+    """One collapse evaluation at a static coarse capacity `ccap`; exact
+    whenever the long-node count fits ccap (guaranteed by the caller)."""
+    n = bvh.n_leaves
+    m = bvh.n_internal
+    mm = bvh.n_nodes
     cap = m  # bvh4 internal capacity AND the leaf child-id bias
 
     pk = bvh.packed_t  # f32[6, mm] (min3, -max3)
@@ -76,19 +108,13 @@ def collapse_lbvh_to_bvh4(
     area = 2.0 * (ext[0] * ext[1] + ext[0] * ext[2] + ext[1] * ext[2])
     area_bits = _f_bits(area)  # >= 0: i32 order == f32 order
 
-    rlen = last - first + 1
-    is_long = rlen > S_LEN  # i32[m]
     idx_m = jnp.arange(m, dtype=I32)
 
     # ---- coarse stage on the compacted long set ----
-    ccap = 2 * n // (S_LEN + 1) + 2
-    ccap = min(ccap, m)
     key = jnp.where(is_long, idx_m, _BIGKEY)
     (skey,) = lax.sort((key.astype(jnp.uint32),), num_keys=1)
     cidx = jnp.minimum(skey[:ccap].astype(I32), m - 1)  # coarse ids, sorted
     cvalid = skey[:ccap] < jnp.uint32(2**29)
-    n_coarse = jnp.sum(is_long.astype(I32))
-
     # row table: one gather -> (area, left, right, parent, pk6) per node
     prow = jnp.concatenate(
         [
