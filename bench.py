@@ -389,7 +389,7 @@ def main() -> None:
                         packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
                     )
                     wide = collapse_lbvh_to_bvh4(b, parent0, first0, last0)
-                    return acc + wide.child_min[0, 0, 0] + i.astype(jnp.float32)
+                    return acc + wide.slot_packed_t[0, 0, 0] + i.astype(jnp.float32)
 
                 return lax.fori_loop(0, k, body, 0.0)
 

@@ -235,7 +235,7 @@ def collapse_bvh2_to_bvh4(bvh: Bvh2) -> Bvh4:
         leaf_prim,
         leaf_parent,
     ) = carry
-    return Bvh4(
+    return Bvh4.from_rowmajor(
         child_min=_bits_f(cmin[:cap]),
         child_max=_bits_f(cmax[:cap]),
         child=child[:cap],

@@ -254,7 +254,7 @@ def collapse_bvh2_to_bvh4_analytic(bvh: Bvh2) -> Bvh4:
     leaf_prim = left[n_int:]
     leaf_parent = bfs_rank[jnp.clip(a_of[n_int:], 0, cap - 1)]
 
-    return Bvh4(
+    return Bvh4.from_rowmajor(
         child_min=out_cmin,
         child_max=out_cmax,
         child=out_child,

@@ -327,16 +327,13 @@ def _collapse_impl(
     child = child.at[tgt_w].set(slots_c, mode="drop")
     count = count.at[tgt_w].set(count2, mode="drop")
 
-    # slot AABBs: kernel rows -> [m, 4, 3] cmin / cmax, coarse scattered in
-    ka = jnp.stack(
-        [a[0:6, :m] for a in outa], axis=0
-    )  # [4, 6, m] (min3, -max3 bits)
-    ka = _bits_f(ka)
-    cmin = ka[:, 0:3, :].transpose(2, 0, 1)  # [m, 4, 3]
-    cmax = -ka[:, 3:6, :].transpose(2, 0, 1)
-    ab_c = _bits_f(jnp.stack(s_ab, axis=1))  # [ccap, 4, 6]
-    cmin = cmin.at[tgt_w].set(ab_c[:, :, 0:3], mode="drop")
-    cmax = cmax.at[tgt_w].set(-ab_c[:, :, 3:6], mode="drop")
+    # slot AABBs stay lane-major: [4, 6, m] is the kernel's own row layout
+    # (one stack of bit views), and the coarse emission is ONE minor-dim
+    # scatter — the old [m, 4, 3] form paid two transposes + two row
+    # scatters through the minor-dim lane-pad cliff
+    sp = _bits_f(jnp.stack([a[0:6, :m] for a in outa], axis=0))  # [4, 6, m]
+    ab_t = _bits_f(jnp.stack([a.T for a in s_ab], axis=0))  # [4, 6, ccap]
+    sp = sp.at[:, :, tgt_w].set(ab_t, mode="drop")
 
     # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
     # exactly the index space of concat(parent_w, leaf_parent), so one
@@ -351,8 +348,7 @@ def _collapse_impl(
 
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(
-        child_min=cmin,
-        child_max=cmax,
+        slot_packed_t=sp,
         child=child,
         parent=claims[:m],
         child_count=count,

@@ -114,6 +114,13 @@ def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
     sp = mat.shape[1]
     grid = sp // blk
     clamp = lambda j: jnp.clip(j, 0, grid - 1)
+    kwargs = {}
+    if not interpret:
+        # the stencil's live [6, blk+2H] temporaries exceed the default
+        # 16 MB scoped-VMEM cap at blk=16K; raise it like collapse_block
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     acc, t4 = pl.pallas_call(
         functools.partial(_kernel, radius=radius, blk=blk, n=n),
         grid=(grid,),
@@ -131,6 +138,7 @@ def refit_dense_pallas(mat, n: int, radius: int, interpret: bool = False):
             jax.ShapeDtypeStruct((6, sp), jnp.float32),
         ],
         interpret=interpret,
+        **kwargs,
     )(mat, mat, mat)
     short = acc[6, :s] == 1.0
     return acc[0:6, :s], short, t4[:, :s]

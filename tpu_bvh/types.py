@@ -87,10 +87,15 @@ class Bvh4(NamedTuple):
     Child index `c < n_internal_cap` refers to another wide node; otherwise it
     refers to wide leaf slot `c - n_internal_cap` (matching the reference's
     `childIdx < nBvh2InternalNodes` leaf test in `CollapseToWide4Bvh`).
+
+    Slot AABBs are stored lane-major (`slot_packed_t[k, :, x]` = slot k of
+    wide node x as (min xyz, -max xyz)) — the layout the collapse kernel
+    emits and the SAH evaluator consumes; an `[K, 4, 3]` array would pay the
+    TPU minor-dim lane pad on every materialization. `child_min`/`child_max`
+    are row-major convenience views for oracles and tests.
     """
 
-    child_min: jax.Array  # f32[K, 4, 3]
-    child_max: jax.Array  # f32[K, 4, 3]
+    slot_packed_t: jax.Array  # f32[4, 6, K] (min xyz, -max xyz per slot)
     child: jax.Array  # i32[K, 4] (INVALID for empty slots)
     parent: jax.Array  # i32[K]
     child_count: jax.Array  # i32[K]
@@ -108,6 +113,25 @@ class Bvh4(NamedTuple):
         """Static capacity of the wide-internal-node array; also the leaf
         index bias (leaf slot = child - n_internal_cap)."""
         return self.child.shape[0]
+
+    @property
+    def child_min(self) -> jax.Array:
+        """Row-major view f32[K, 4, 3] (oracle/test interface)."""
+        return self.slot_packed_t[:, 0:3, :].transpose(2, 0, 1)
+
+    @property
+    def child_max(self) -> jax.Array:
+        """Row-major view f32[K, 4, 3] (oracle/test interface)."""
+        return -self.slot_packed_t[:, 3:6, :].transpose(2, 0, 1)
+
+    @classmethod
+    def from_rowmajor(cls, child_min, child_max, **kw) -> "Bvh4":
+        """Construct from `[K, 4, 3]` slot AABBs (non-production paths)."""
+        sp = jnp.concatenate(
+            [child_min.transpose(1, 2, 0), -child_max.transpose(1, 2, 0)],
+            axis=1,
+        )
+        return cls(slot_packed_t=sp, **kw)
 
 
 class PrimRefs(NamedTuple):

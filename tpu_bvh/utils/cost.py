@@ -31,26 +31,35 @@ def sah_cost_bvh2(bvh) -> jnp.ndarray:
 def sah_cost_bvh4(bvh4, prim_aabb_min, prim_aabb_max) -> jnp.ndarray:
     """`calculatebvh4Cost` (`Utility.cpp:351-396`): ct per wide internal
     child + ci per wide leaf (leaf areas from the *original* primitive
-    AABBs), normalized by the root AABB area."""
+    AABBs), normalized by the root AABB area. Works directly on the
+    lane-major slot store (f32[4, 6, K]) — no [K, 4, 3] materialization."""
     cap = bvh4.n_internal_cap
     child = bvh4.child  # i32[K,4]
-    cmin = bvh4.child_min
-    cmax = bvh4.child_max
+    sp = bvh4.slot_packed_t  # f32[4, 6, K] (min xyz, -max xyz)
 
-    root_valid = child[bvh4.root] >= 0
-    root_min = jnp.min(
-        jnp.where(root_valid[:, None], cmin[bvh4.root], jnp.inf), axis=0
+    ext = jnp.maximum(-sp[:, 3:6, :] - sp[:, 0:3, :], 0.0)  # [4, 3, K]
+    child_areas = 2.0 * (
+        ext[:, 0] * ext[:, 1] + ext[:, 0] * ext[:, 2] + ext[:, 1] * ext[:, 2]
+    )  # [4, K]
+
+    root_valid = child[bvh4.root] >= 0  # [4]
+    root_pk = jnp.min(
+        jnp.where(root_valid[:, None], sp[:, :, bvh4.root], jnp.inf), axis=0
+    )  # [6] packed union (min xyz, -max xyz)
+    root_ext = jnp.maximum(-root_pk[3:6] - root_pk[0:3], 0.0)
+    inv_root = 1.0 / (
+        2.0
+        * (
+            root_ext[0] * root_ext[1]
+            + root_ext[0] * root_ext[2]
+            + root_ext[1] * root_ext[2]
+        )
     )
-    root_max = jnp.max(
-        jnp.where(root_valid[:, None], cmax[bvh4.root], -jnp.inf), axis=0
-    )
-    inv_root = 1.0 / A.area(root_min, root_max)
 
     # used-slot mask by child_count: holds for both the dense queue-ordered
     # numbering (used slots = prefix) and the sparse fast-collapse numbering
-    is_used = (bvh4.child_count > 0)[:, None]
-    is_internal_child = (child >= 0) & (child < cap) & is_used
-    child_areas = A.area(cmin, cmax)
+    is_used = (bvh4.child_count > 0)[None, :]
+    is_internal_child = (child.T >= 0) & (child.T < cap) & is_used  # [4, K]
     cost = 1.0 + jnp.sum(jnp.where(is_internal_child, child_areas, 0.0)) * inv_root
 
     leaf_areas = A.area(prim_aabb_min[bvh4.leaf_prim], prim_aabb_max[bvh4.leaf_prim])
