@@ -61,6 +61,42 @@ def _apply(table, s):
     return (table >> (2 * s)) & 3
 
 
+def _route(width, tgts, val_lists):
+    """Sort-based scatter replacement (measured v5e: XLA scatters cost
+    ~50 ns per index, ~2-3 ms at the coarse-merge index counts; two
+    unstable sorts route the same data in ~0.5 ms).
+
+    Produces, for every position p in [0, width): the routed values of the
+    highest-priority entry targeting p (priority = order in `tgts`), or
+    the background value. Duplicate targets must carry equal values (the
+    same contract XLA scatter determinism required). tgts: list of i32
+    index arrays (out-of-range = dropped); val_lists[j]: per-value-channel
+    list, one array per tgt PLUS the [width] background as the last
+    element. Returns one [width] array per value channel.
+    """
+    idx_bg = jnp.arange(width, dtype=I32)
+    src = jnp.concatenate(list(tgts) + [idx_bg])
+    pri_parts = [jnp.full(t.shape, k, I32) for k, t in enumerate(tgts)]
+    pri = jnp.concatenate(pri_parts + [jnp.full((width,), len(tgts), I32)])
+    nt = len(tgts) + 1
+    oob = (src < 0) | (src >= width)
+    key1 = jnp.where(oob, width * nt + nt, src * nt + pri).astype(jnp.uint32)
+    vals = [jnp.concatenate(ch) for ch in val_lists]
+    out1 = lax.sort((key1, *vals), num_keys=1, is_stable=False)
+    k1 = out1[0]
+    grp = (k1 // nt).astype(I32)
+    firsts = jnp.concatenate(
+        [jnp.ones((1,), bool), grp[1:] != grp[:-1]]
+    )
+    ncat = k1.shape[0]
+    rank = jnp.arange(ncat, dtype=I32)
+    key2 = jnp.where(
+        firsts & (grp < width), grp, width + rank
+    ).astype(jnp.uint32)
+    out2 = lax.sort((key2, *out1[1:]), num_keys=1, is_stable=False)
+    return [o[:width] for o in out2[1:]]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def collapse_lbvh_to_bvh4(
     bvh: Bvh2, parent, first, last, interpret: bool = False
@@ -115,30 +151,30 @@ def _collapse_impl(
     (skey,) = lax.sort((key.astype(jnp.uint32),), num_keys=1)
     cidx = jnp.minimum(skey[:ccap].astype(I32), m - 1)  # coarse ids, sorted
     cvalid = skey[:ccap] < jnp.uint32(2**29)
-    # row table: one gather -> (area, left, right, parent, pk6) per node
-    prow = jnp.concatenate(
+    # lane-major table: ONE [10, mm] stack, lane gathers per fetch (a
+    # row-major [mm, 16] paid the 16->128 lane pad on materialization)
+    prow_t = jnp.concatenate(
         [
             area_bits[None, :],
             left[None, :],
             right[None, :],
             parent[None, :].astype(I32),
             _f_bits(pk),
-            jnp.zeros((6, mm), I32),
         ],
         axis=0,
-    ).T  # [mm, 16]
+    )  # [10, mm]
 
     def fetch(ids):
-        return prow[jnp.clip(ids, 0, mm - 1)]
+        return prow_t[:, jnp.clip(ids, 0, mm - 1)]  # [10, k]
 
     trow = fetch(cidx)
-    c_left = trow[:, 1]
-    c_right = trow[:, 2]
-    c_parent = trow[:, 3]
+    c_left = trow[1]
+    c_right = trow[2]
+    c_parent = trow[3]
 
     # expansion simulation (oracle semantics) on [ccap] lanes
     def acode(ids, rows):
-        return jnp.where((ids >= 0) & (ids < m), rows[:, 0], -1)
+        return jnp.where((ids >= 0) & (ids < m), rows[0], -1)
 
     rowL = fetch(c_left)
     rowR = fetch(c_right)
@@ -146,10 +182,10 @@ def _collapse_impl(
             jnp.full((ccap,), -1, I32)]
     s_ac = [acode(c_left, rowL), acode(c_right, rowR),
             jnp.full((ccap,), -1, I32), jnp.full((ccap,), -1, I32)]
-    s_lc = [rowL[:, 1], rowR[:, 1], s_id[2], s_id[2]]
-    s_rc = [rowL[:, 2], rowR[:, 2], s_id[2], s_id[2]]
-    s_ab = [rowL[:, 4:10], rowR[:, 4:10],
-            jnp.zeros((ccap, 6), I32), jnp.zeros((ccap, 6), I32)]
+    s_lc = [rowL[1], rowR[1], s_id[2], s_id[2]]
+    s_rc = [rowL[2], rowR[2], s_id[2], s_id[2]]
+    s_ab = [rowL[4:10], rowR[4:10],
+            jnp.zeros((6, ccap), I32), jnp.zeros((6, ccap), I32)]
 
     best1 = jnp.maximum(s_ac[0], s_ac[1])
     pos1 = (s_ac[1] > s_ac[0]).astype(I32)
@@ -163,14 +199,14 @@ def _collapse_impl(
         mk = do1 & (pos1 == k)
         s_id[k] = jnp.where(mk, c1l, s_id[k])
         s_ac[k] = jnp.where(mk, acode(c1l, rowCL), s_ac[k])
-        s_lc[k] = jnp.where(mk, rowCL[:, 1], s_lc[k])
-        s_rc[k] = jnp.where(mk, rowCL[:, 2], s_rc[k])
-        s_ab[k] = jnp.where(mk[:, None], rowCL[:, 4:10], s_ab[k])
+        s_lc[k] = jnp.where(mk, rowCL[1], s_lc[k])
+        s_rc[k] = jnp.where(mk, rowCL[2], s_rc[k])
+        s_ab[k] = jnp.where(mk[None, :], rowCL[4:10], s_ab[k])
     s_id[2] = jnp.where(do1, c1r, s_id[2])
     s_ac[2] = jnp.where(do1, acode(c1r, rowCR), s_ac[2])
-    s_lc[2] = jnp.where(do1, rowCR[:, 1], s_lc[2])
-    s_rc[2] = jnp.where(do1, rowCR[:, 2], s_rc[2])
-    s_ab[2] = jnp.where(do1[:, None], rowCR[:, 4:10], s_ab[2])
+    s_lc[2] = jnp.where(do1, rowCR[1], s_lc[2])
+    s_rc[2] = jnp.where(do1, rowCR[2], s_rc[2])
+    s_ab[2] = jnp.where(do1[None, :], rowCR[4:10], s_ab[2])
     count1 = 2 + do1.astype(I32)
 
     best2 = jnp.maximum(jnp.maximum(s_ac[0], s_ac[1]), s_ac[2])
@@ -189,11 +225,11 @@ def _collapse_impl(
     for k in range(3):
         mk = do2 & (pos2 == k)
         s_id[k] = jnp.where(mk, c2l, s_id[k])
-        s_ab[k] = jnp.where(mk[:, None], rowC2L[:, 4:10], s_ab[k])
+        s_ab[k] = jnp.where(mk[None, :], rowC2L[4:10], s_ab[k])
     for k in range(2, 4):
         mk = do2 & (count1 == k)
         s_id[k] = jnp.where(mk, c2r, s_id[k])
-        s_ab[k] = jnp.where(mk[:, None], rowC2R[:, 4:10], s_ab[k])
+        s_ab[k] = jnp.where(mk[None, :], rowC2R[4:10], s_ab[k])
     count2 = count1 + do2.astype(I32)
     e1_c = jnp.where(do1, e1, -1)
     e2_c = jnp.where(do2, e2, -1)
@@ -265,22 +301,21 @@ def _collapse_impl(
                       & (is_long[jnp.clip(cid, 0, m - 1)]) & (cr < ccap))
         return jnp.where(long_child, ce, -1)
 
-    # 1-D scatters only: a 2-D [m, k] staging would pad its minor dim to
-    # 128 lanes on TPU (cost cliff #3) and cost more than the saved
-    # dispatches.
-    seed_tgt = jnp.concatenate([tgt_c, tl, tr])
-    seed = (
-        jnp.full((m,), _UNK, I32)
-        .at[seed_tgt]
-        .set(jnp.concatenate([state_c, state_l, state_r]), mode="drop")
-    )
-    e2_dense = (
-        jnp.full((m,), -1, I32)
-        .at[seed_tgt]
-        .set(
-            jnp.concatenate([e2_c, child_e2(c_left), child_e2(c_right)]),
-            mode="drop",
-        )
+    # sort-based routing, NOT scatters: the three target streams carry
+    # ~3*ccap indices and XLA scatters cost ~50 ns/index on TPU (measured;
+    # the r3 version spent ~2-3 ms right here)
+    seed, e2_dense = _route(
+        m,
+        [tgt_c, tl, tr],
+        [
+            [state_c, state_l, state_r, jnp.full((m,), _UNK, I32)],
+            [
+                e2_c,
+                child_e2(c_left),
+                child_e2(c_right),
+                jnp.full((m,), -1, I32),
+            ],
+        ],
     )
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
@@ -314,37 +349,41 @@ def _collapse_impl(
         meta, node8, leaf8, m, interpret=interpret
     )
 
-    # ---- merge kernel outputs with coarse emission ----
-    child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)  # [m, 4]
-    count = outm[4, :m]
-
+    # ---- merge kernel outputs with coarse emission (sort-routed) ----
     slots_c = jnp.stack(s_id, axis=1)  # [ccap, 4]
     slots_c = jnp.where(
         jnp.arange(4, dtype=I32)[None, :] < count2[:, None], slots_c, -1
     )
     is_wide_c = cvalid & (state_c == _WIDE)
     tgt_w = jnp.where(is_wide_c, cidx, oob)
-    child = child.at[tgt_w].set(slots_c, mode="drop")
-    count = count.at[tgt_w].set(count2, mode="drop")
+
+    # child slots + count in one routing pass (5 channels)
+    routed = _route(
+        m,
+        [tgt_w],
+        [[slots_c[:, k], outm[k, :m]] for k in range(4)]
+        + [[count2, outm[4, :m]]],
+    )
+    child = jnp.stack(routed[:4], axis=1)  # [m, 4]
+    count = routed[4]
 
     # slot AABBs stay lane-major: [4, 6, m] is the kernel's own row layout
-    # (one stack of bit views), and the coarse emission is ONE minor-dim
-    # scatter — the old [m, 4, 3] form paid two transposes + two row
-    # scatters through the minor-dim lane-pad cliff
+    # (one stack of bit views); the coarse emission is one minor-dim
+    # scatter at ccap indices — the only scatter left in the collapse
     sp = _bits_f(jnp.stack([a[0:6, :m] for a in outa], axis=0))  # [4, 6, m]
-    ab_t = _bits_f(jnp.stack([a.T for a in s_ab], axis=0))  # [4, 6, ccap]
+    ab_t = _bits_f(jnp.stack(s_ab, axis=0))  # [4, 6, ccap]
     sp = sp.at[:, :, tgt_w].set(ab_t, mode="drop")
 
     # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
     # exactly the index space of concat(parent_w, leaf_parent), so one
-    # combined scatter covers both.
-    claims = jnp.concatenate([outm[6, :m], outm[7, :W][:n]])  # [m + n]
+    # combined routing covers both.
+    claims_bg = jnp.concatenate([outm[6, :m], outm[7, :W][:n]])  # [m + n]
     flat_slots = slots_c.reshape(-1)
     flat_owner = jnp.repeat(tgt_w, 4)
     claim_t = jnp.where(
         (flat_owner < oob) & (flat_slots >= 0), flat_slots, oob
     )
-    claims = claims.at[claim_t].set(flat_owner, mode="drop")
+    (claims,) = _route(m + n, [claim_t], [[flat_owner, claims_bg]])
 
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(

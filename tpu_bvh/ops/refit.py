@@ -109,10 +109,12 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
         and not os.environ.get("TBVH_NO_PALLAS_REFIT")
     )
     if radius is None:
-        # stencil shifts are ~free in the kernel, so a wider radius shrinks
-        # the long set (~2n/R) and with it the long path's gathers/scatter;
-        # the XLA fallback pays per-shift HBM round-trips, so stay narrow
-        radius = 48 if use_pallas else 16
+        # measured on v5e @262K (tools/profile_refit_parts.py): the dense
+        # kernel costs 0.09 ms at R=24 vs 0.29 at R=48 while the long path
+        # (sort + 4 cap-row gathers + scatter) grows by less than that as
+        # cap doubles — R=24 is the sweet spot; the XLA fallback pays
+        # per-shift HBM round-trips, so it stays narrower still
+        radius = 24 if use_pallas else 16
     assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
     i = jnp.arange(m, dtype=I32)
 
@@ -155,13 +157,10 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
     # Long nodes (range exceeds the dense radius) resolve with a TWO-LEVEL
     # table: a single fine level-4 row (T4[i] = min over [i, i+16)) covers
     # both range ends, and a coarse lifting table over block-16 mins covers
-    # the fully-contained middle blocks. Fine + coarse are assembled into
-    # ONE [n + (Lc+1)*nb, 6] row table by a single lane-major concatenate +
-    # transpose, which XLA lowers to a layout *bitcast* — stacking all fine
-    # levels the same way costs ~0.55 ms of concat bandwidth, and building
-    # the coarse table as a separate gather operand makes XLA relayout it
-    # into VMEM with ~13 ms of padded dynamic-update-slice copies (measured;
-    # see tools/proto_refit_table.py).
+    # the fully-contained middle blocks. The table stays LANE-major
+    # ([6, n + (Lc+1)*nb]) and the queries gather lanes — measured ~0.05 ms
+    # at cap rows on v5e, while materializing the row-major transpose cost
+    # ~0.3 ms of 6->128 lane-pad bandwidth.
     pt = packed_t  # [6, n]
     if use_pallas:
         cur = t4  # fine level-4 row came out of the stencil kernel
@@ -191,7 +190,7 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
             )
             ccur = jnp.minimum(ccur, shifted)
         ctabs.append(ccur)
-    table_rows = jnp.concatenate(ctabs, axis=1).T  # rows: [T4 | coarse lvls]
+    table_t = jnp.concatenate(ctabs, axis=1)  # [6, X]: [T4 | coarse lvls]
 
     # long-node budget: #nodes with range length > L is ~2n/L in Morton
     # order (measured sponza 262K: 15.8K at R=16, 5.1K at R=48), so size
@@ -202,7 +201,7 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
 
     def query(cf, cl):
         # ends: two fine level-4 windows [cf, cf+16) and (cl-16, cl]
-        u = jnp.minimum(table_rows[cf], table_rows[jnp.maximum(cl - 15, 0)])
+        u = jnp.minimum(table_t[:, cf], table_t[:, jnp.maximum(cl - 15, 0)])
         # middle: blocks fully inside [cf, cl] via the coarse lifting table
         bf = (cf + 15) >> 4
         bl = ((cl + 1) >> 4) - 1
@@ -212,42 +211,56 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
         kc = _floor_log2(cnt)
         b2 = jnp.maximum(bl - (1 << kc) + 1, 0)
         uc = jnp.minimum(
-            table_rows[n + kc * nb + bfs], table_rows[n + kc * nb + b2]
+            table_t[:, n + kc * nb + bfs], table_t[:, n + kc * nb + b2]
         )
-        return jnp.minimum(u, jnp.where(has_mid[:, None], uc, big))
+        return jnp.minimum(u, jnp.where(has_mid[None, :], uc, big))
 
-    def full_path(_):
-        # overflow fallback (degenerate caterpillar scenes): four m-row
-        # gathers — slow but exact
-        ut = query(first, last).T
-        return [ut[k] for k in range(6)]
-
-    # Long nodes to the front with ONE single-key unstable sort: the key
+    # Long nodes to the front with ONE single-key unstable sort (the key
     # packs (short, position), so it is unique and long nodes land in the
-    # first n_long slots in position order. The answers are routed back
-    # with ONE cap-row scatter (cap ~ 4m/3R rows; a small-row scatter is
-    # ~0.01-0.15 ms on v5e vs ~0.35 ms for the m-row place-back sort this
-    # replaces). The sort and table query run unconditionally; only the
-    # placement is under the overflow cond.
+    # first n_long slots in position order) — and the dense answers RIDE
+    # the sort as payload, so after blending the table answers over the
+    # first cap columns a second sort keyed by position is the whole
+    # place-back. A cap-column scatter measured 0.72 ms on v5e; the two
+    # payload sorts together are ~0.6 and replace scatter + select. Only
+    # the rare overflow fixup (degenerate caterpillar scenes:
+    # n_long > cap) sits under a cond, re-querying all m nodes.
     key = (short.astype(jnp.uint32) << 22) | i.astype(jnp.uint32)
-    skey, cfq, clq = lax.sort(
-        (key, first, last), num_keys=1, is_stable=False
+    as_ib = lambda x: lax.bitcast_convert_type(x, I32)
+    as_fb = lambda x: lax.bitcast_convert_type(x, jnp.float32)
+    accm = acc_t[:, :m]
+    skey, cfq, clq, p0, p1, p2, p3, p4, p5 = lax.sort(
+        (key, first, last,
+         as_ib(accm[0]), as_ib(accm[1]), as_ib(accm[2]),
+         as_ib(accm[3]), as_ib(accm[4]), as_ib(accm[5])),
+        num_keys=1,
+        is_stable=False,
     )
-    cpos = (skey & ((1 << 22) - 1)).astype(I32)
-    ut = query(cfq[:cap], clq[:cap]).T  # [6, cap]
+    ut = query(cfq[:cap], clq[:cap])  # [6, cap]
     rank_c = jnp.arange(cap, dtype=I32)
 
     def place(_):
-        # scatter the cap answers back to their positions; rows past
-        # n_long are routed out of bounds and dropped
-        tgt = jnp.where(rank_c < n_long, cpos[:cap], m)
-        out = jnp.full((6, m), big)
-        return list(out.at[:, tgt].set(ut, mode="drop"))
+        # blend the table answers over the long ranks, then one sort by
+        # position restores node order — payload rows are i32 bit views
+        # (int bits in f32 rows are denormals, flushed by XLA:TPU fusions)
+        blend = rank_c < n_long
+        full = [
+            jnp.concatenate(
+                [jnp.where(blend, as_ib(ut[k]), p[:cap]), p[cap:]]
+            )
+            for k, p in enumerate((p0, p1, p2, p3, p4, p5))
+        ]
+        out = lax.sort((skey & ((1 << 22) - 1), *full), num_keys=1,
+                       is_stable=False)
+        return jnp.stack([as_fb(o) for o in out[1:]], axis=0)
 
-    long_cols = lax.cond(n_long <= cap, place, full_path, None)
-    return jnp.stack(
-        [jnp.where(short, acc_t[k], long_cols[k]) for k in range(6)], axis=0
-    )  # [6, m] — lane-major throughout
+    def full_path(_):
+        # overflow fallback: four m-wide lane gathers — slow but exact
+        utf = query(first, last)
+        return jnp.stack(
+            [jnp.where(short, accm[k], utf[k]) for k in range(6)], axis=0
+        )
+
+    return lax.cond(n_long <= cap, place, full_path, None)  # [6, m]
 
 
 def refit_ranges(leaf_min, leaf_max, first, last):
