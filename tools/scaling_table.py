@@ -42,8 +42,11 @@ def main() -> None:
     from tpu_bvh.parallel import sharded, sharded_build
     from tpu_bvh.utils import scenes
 
-    n_tris = 4096  # single-scene size (divisible by 8; CPU compile-bound)
-    soup = np.asarray(scenes.bunny_like(n_tris), np.float32)
+    soup = np.asarray(scenes.bunny_like(8192), np.float32)
+    # procedural scenes round the count to their grid; trim to a multiple
+    # of 8 so every mesh width divides it (the sharded build requires it)
+    n_tris = soup.shape[0] - soup.shape[0] % 8
+    soup = jnp.asarray(soup[:n_tris])
     n_meshes = 128
     base = np.asarray(scenes.cornellbox(), np.float32)
     tris_b = jnp.asarray(np.broadcast_to(base, (n_meshes, *base.shape)).copy())
@@ -59,18 +62,20 @@ def main() -> None:
         return best * 1e3
 
     print("multi-device CPU scaling (virtual devices, wall ms):", flush=True)
-    print("  devices | batched 512x32 | sharded single-scene 32K | exact",
-          flush=True)
-    want = lbvh.build_single_pass(jnp.asarray(soup))
+    print(f"  devices | batched {n_meshes}x32 | sharded single-scene "
+          f"{n_tris} | exact", flush=True)
+    want = lbvh.build_single_pass(soup)
     for p in (2, 4, 8):
         mesh = Mesh(np.array(devs[:p]), ("dp",))
-        t_b = timeit(lambda: sharded.build_batched_sharded(mesh, tris_b))
-        t_s = timeit(
-            lambda: sharded_build.build_single_pass_sharded(
-                mesh, jnp.asarray(soup)
-            )
+        # jit the eager shard_map pipelines: un-jitted they re-trace and
+        # dispatch op-by-op every call (r4: 88 s/rep -> ms/rep)
+        fb = jax.jit(lambda t, mesh=mesh: sharded.build_batched_sharded(mesh, t))
+        fs = jax.jit(
+            lambda t, mesh=mesh: sharded_build.build_single_pass_sharded(mesh, t)
         )
-        sb = sharded_build.build_single_pass_sharded(mesh, jnp.asarray(soup))
+        t_b = timeit(lambda: fb(tris_b))
+        t_s = timeit(lambda: fs(soup))
+        sb = jax.block_until_ready(fs(soup))
         got = sharded_build.to_bvh2(sb, n_tris)
         exact = (
             not bool(sb.overflow)
