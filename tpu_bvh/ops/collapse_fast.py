@@ -48,6 +48,12 @@ I32 = jnp.int32
 _WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
 _BIGKEY = jnp.int32(2**30)
 
+# perf-isolation bitmask (tools/ only; != 31 gives WRONG results):
+# 1 seed/e2 route, 2 slots route, 4 claims route, 8 sp scatter, 16 coarse sim
+import os as _os
+
+_XPARTS = int(_os.environ.get("TBVH_COLLAPSE_XPARTS", "31"))
+
 
 def _f_bits(x):
     return lax.bitcast_convert_type(x, I32)
@@ -304,19 +310,23 @@ def _collapse_impl(
     # sort-based routing, NOT scatters: the three target streams carry
     # ~3*ccap indices and XLA scatters cost ~50 ns/index on TPU (measured;
     # the r3 version spent ~2-3 ms right here)
-    seed, e2_dense = _route(
-        m,
-        [tgt_c, tl, tr],
-        [
-            [state_c, state_l, state_r, jnp.full((m,), _UNK, I32)],
+    if _XPARTS & 1:
+        seed, e2_dense = _route(
+            m,
+            [tgt_c, tl, tr],
             [
-                e2_c,
-                child_e2(c_left),
-                child_e2(c_right),
-                jnp.full((m,), -1, I32),
+                [state_c, state_l, state_r, jnp.full((m,), _UNK, I32)],
+                [
+                    e2_c,
+                    child_e2(c_left),
+                    child_e2(c_right),
+                    jnp.full((m,), -1, I32),
+                ],
             ],
-        ],
-    )
+        )
+    else:
+        seed = jnp.full((m,), _UNK, I32) + state_c[0]
+        e2_dense = jnp.full((m,), -1, I32) + child_e2(c_left)[0]
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
     W = n
@@ -358,21 +368,28 @@ def _collapse_impl(
     tgt_w = jnp.where(is_wide_c, cidx, oob)
 
     # child slots + count in one routing pass (5 channels)
-    routed = _route(
-        m,
-        [tgt_w],
-        [[slots_c[:, k], outm[k, :m]] for k in range(4)]
-        + [[count2, outm[4, :m]]],
-    )
-    child = jnp.stack(routed[:4], axis=1)  # [m, 4]
-    count = routed[4]
+    if _XPARTS & 2:
+        routed = _route(
+            m,
+            [tgt_w],
+            [[slots_c[:, k], outm[k, :m]] for k in range(4)]
+            + [[count2, outm[4, :m]]],
+        )
+        child = jnp.stack(routed[:4], axis=1)  # [m, 4]
+        count = routed[4]
+    else:
+        child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)
+        count = outm[4, :m] + slots_c[0, 0] + count2[0]
 
     # slot AABBs stay lane-major: [4, 6, m] is the kernel's own row layout
     # (one stack of bit views); the coarse emission is one minor-dim
     # scatter at ccap indices — the only scatter left in the collapse
     sp = _bits_f(jnp.stack([a[0:6, :m] for a in outa], axis=0))  # [4, 6, m]
     ab_t = _bits_f(jnp.stack(s_ab, axis=0))  # [4, 6, ccap]
-    sp = sp.at[:, :, tgt_w].set(ab_t, mode="drop")
+    if _XPARTS & 8:
+        sp = sp.at[:, :, tgt_w].set(ab_t, mode="drop")
+    else:
+        sp = sp + ab_t[0, 0, 0]
 
     # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
     # exactly the index space of concat(parent_w, leaf_parent), so one
@@ -383,7 +400,10 @@ def _collapse_impl(
     claim_t = jnp.where(
         (flat_owner < oob) & (flat_slots >= 0), flat_slots, oob
     )
-    (claims,) = _route(m + n, [claim_t], [[flat_owner, claims_bg]])
+    if _XPARTS & 4:
+        (claims,) = _route(m + n, [claim_t], [[flat_owner, claims_bg]])
+    else:
+        claims = claims_bg + claim_t[0]
 
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(
