@@ -53,7 +53,7 @@ def main():
                 return lax.fori_loop(0, kk, body, jnp.float32(0))
             return loop
 
-        e = lambda x: (x.reshape(-1)[0],)
+        e = lambda x: (x.sum(),)  # consume fully: defeat DCE
 
         # scatter [6, m] minor-dim
         for name, idx, uq, srt in (
@@ -106,7 +106,7 @@ def main():
             def body(i, acc):
                 out = lax.sort((keys + i.astype(jnp.uint32),) + tuple(pay[:np_]),
                                num_keys=1, is_stable=False)
-                return acc + out[0][0].astype(jnp.float32)
+                return acc + sum(o.sum().astype(jnp.float32) for o in out)
             return lax.fori_loop(0, kk, body, jnp.float32(0))
         return loop
 
@@ -119,7 +119,7 @@ def main():
         def body(i, acc):
             out = lax.sort((k64 + i.astype(jnp.uint64),), num_keys=1,
                            is_stable=False)
-            return acc + out[0][0].astype(jnp.float32)
+            return acc + out[0].sum().astype(jnp.float32)
         return lax.fori_loop(0, kk, body, jnp.float32(0))
     print(f"sort m={m} u64 single  : {slope(loop64):7.3f} ms", flush=True)
 

@@ -60,7 +60,12 @@ def main():
                 packed_t=bvh.packed_t + i.astype(jnp.float32) * 1e-7
             )
             w = CF.collapse_lbvh_to_bvh4(b, parent, first, last)
-            return acc + w.child[0, 0] + w.n_nodes
+            full = (
+                w.child.sum() + w.child_count.sum() + w.parent.sum()
+                + w.leaf_parent.sum() + w.n_nodes
+                + lax.bitcast_convert_type(w.slot_packed_t, jnp.int32).sum()
+            )
+            return acc + full
         return lax.fori_loop(0, k, body, jnp.int32(0))
 
     print(f"full(parts={parts}) : {slope(mk_full):7.3f} ms", flush=True)

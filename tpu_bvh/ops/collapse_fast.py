@@ -49,7 +49,7 @@ _WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
 _BIGKEY = jnp.int32(2**30)
 
 # perf-isolation bitmask (tools/ only; != 31 gives WRONG results):
-# 1 seed/e2 route, 2 slots route, 4 claims route, 8 sp scatter, 16 coarse sim
+# 1 seed/e2/own route, 2 slots+claims route, 8 sp scatter
 import os as _os
 
 _XPARTS = int(_os.environ.get("TBVH_COLLAPSE_XPARTS", "31"))
@@ -286,15 +286,43 @@ def _collapse_impl(
     state_l = child_state(c_left)
     state_r = child_state(c_right)
 
-    # ---- dense seed / e2 arrays for the kernel (combined-target 1-D
-    # scatters: one for seeds, one for e2) ----
-    # Scatter targets can collide: a coarse node that is itself the child
+    # Nearest-wide-ancestor-INCLUSIVE per coarse node (`own_inc`): the wide
+    # node that owns any slot whose absorbed chain terminates at-or-above
+    # this node. Case table (absorption reaches at most 2 levels below a
+    # wide node, `TwoPassLbvhKernel.h:262-313`):
+    #   WIDE -> self
+    #   E1   -> parent (a first expansion always absorbs a CHILD of the
+    #           expanding wide node, so the parent is that wide node)
+    #   E2   -> parent if the parent is wide, else grandparent (the parent
+    #           then absorbed as E1 into ITS parent, which did both
+    #           expansions; E2-under-E2 and E1-under-nonwide are impossible)
+    # The crown is ancestor-closed, so parent/grandparent ranks are valid.
+    state_p = state_c[ps]
+    gp_id = c_parent[ps]
+    own_inc = jnp.where(
+        state_c == _WIDE,
+        cidx,
+        jnp.where(
+            state_c == _E1,
+            c_parent,
+            jnp.where(state_p == _E1, gp_id, c_parent),
+        ),
+    )
+    # own_parent(x) := own_inc(parent(x)) — the single value the kernel
+    # needs at seed lanes: it is simultaneously (a) the claim terminal for
+    # chains arriving from below (own_inc(x) = x if x is wide else
+    # own_parent(x)), and (b) the self-claim of a seeded wide lane.
+    own_pc = jnp.where(p_rank >= 0, own_inc[jnp.clip(p_rank, 0, ccap - 1)], -1)
+
+    # ---- dense seed/e2/own rows for the kernel (sort-routed) ----
+    # Routing targets can collide: a coarse node that is itself the child
     # of a coarse node appears both as a tgt_c row and as a tl/tr row.
-    # XLA scatter with duplicate indices is only deterministic if the
-    # duplicate rows carry EQUAL values, so: (a) the child seed state from
-    # `child_state` equals the doubling state (child_state is exactly the
-    # one-step transition the doubling composes), and (b) the child rows
-    # carry the child's OWN coarse e2 (via rank) instead of -1.
+    # Duplicate targets must carry EQUAL values, so: (a) the child seed
+    # state from `child_state` equals the doubling state (child_state is
+    # exactly the one-step transition the doubling composes), (b) the
+    # child rows carry the child's OWN coarse e2 (via rank), and (c) the
+    # own_parent value has one definition (own_inc of this row) whether the
+    # lane is reached as a tgt_c row (own_inc[p_rank]) or a tl/tr row.
     oob = jnp.int32(mm + 5)
     tgt_c = jnp.where(cvalid, cidx, oob)
     tl = jnp.where(cvalid & (c_left >= 0) & (c_left < m), c_left, oob)
@@ -307,26 +335,40 @@ def _collapse_impl(
                       & (is_long[jnp.clip(cid, 0, m - 1)]) & (cr < ccap))
         return jnp.where(long_child, ce, -1)
 
-    # sort-based routing, NOT scatters: the three target streams carry
-    # ~3*ccap indices and XLA scatters cost ~50 ns/index on TPU (measured;
-    # the r3 version spent ~2-3 ms right here)
-    if _XPARTS & 1:
-        seed, e2_dense = _route(
-            m,
-            [tgt_c, tl, tr],
-            [
-                [state_c, state_l, state_r, jnp.full((m,), _UNK, I32)],
+    # ONE lane-dim scatter, not sort-routing: a [K, m] scatter at column
+    # indices costs ~0.4-0.65 ms nearly independent of K on v5e
+    # (tools/microbench_merge.py), while the two-sort route paid ~1.4 ms
+    # here. (The r3 "~50 ns/index" scatter cliff was the 3-D
+    # [4, 6, m]-at-axis-2 form; 2-D lane scatters are per-index cheap.)
+    # Channel 0 packs (seed state << 23 | e2 + 1) — e2 < 2^22 so both fit
+    # one i32 and the kernel decodes them; channel 1 carries own_parent + 1
+    # (0 = none), the claim terminal that lets the kernel resolve ALL
+    # ownership chains itself (the r3 version needed a third, post-kernel
+    # claims routing pass over [m + n] for coarse-owned slots).
+    enc_se = lambda st, e2v: st * (1 << 23) + (e2v + 1)
+    pre_bg = jnp.stack(
+        [jnp.full((m,), _UNK << 23, I32), jnp.zeros((m,), I32)], axis=0
+    )
+    pre_t = jnp.concatenate([tgt_c, tl, tr])
+    pre_v = jnp.stack(
+        [
+            jnp.concatenate(
                 [
-                    e2_c,
-                    child_e2(c_left),
-                    child_e2(c_right),
-                    jnp.full((m,), -1, I32),
-                ],
-            ],
-        )
+                    enc_se(state_c, e2_c),
+                    enc_se(state_l, child_e2(c_left)),
+                    enc_se(state_r, child_e2(c_right)),
+                ]
+            ),
+            jnp.concatenate([own_pc + 1, own_inc + 1, own_inc + 1]),
+        ],
+        axis=0,
+    )
+    if _XPARTS & 1:
+        pre = pre_bg.at[:, pre_t].set(pre_v, mode="drop")
     else:
-        seed = jnp.full((m,), _UNK, I32) + state_c[0]
-        e2_dense = jnp.full((m,), -1, I32) + child_e2(c_left)[0]
+        pre = pre_bg + pre_v[:, :1]
+    seed_e2 = pre[0]
+    own_dense = pre[1]
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
     W = n
@@ -338,11 +380,13 @@ def _collapse_impl(
             row(left[:m]),
             row(right[:m]),
             row(parent[:m].astype(I32)),
-            jnp.concatenate([seed[None, :], jnp.full((1, W - m), _UNK, I32)], 1),
+            jnp.concatenate(
+                [seed_e2[None, :], jnp.full((1, W - m), _UNK << 23, I32)], 1
+            ),
             jnp.concatenate(
                 [(~is_long).astype(I32)[None, :], jnp.zeros((1, W - m), I32)], 1
             ),
-            jnp.concatenate([e2_dense[None, :], padm], 1),
+            jnp.concatenate([own_dense[None, :], jnp.zeros((1, W - m), I32)], 1),
             parent[None, m:].astype(I32),  # leaf parents (for claims)
         ],
         axis=0,
@@ -367,19 +411,25 @@ def _collapse_impl(
     is_wide_c = cvalid & (state_c == _WIDE)
     tgt_w = jnp.where(is_wide_c, cidx, oob)
 
-    # child slots + count in one routing pass (5 channels)
+    # child slots + count + wide-parent claim in one routing pass (6
+    # channels). The claim of a coarse wide node is its nearest wide strict
+    # ancestor = own_parent (kernel claims cover every SHORT wide node and
+    # every leaf, including coarse-owned ones, via the own_parent chain
+    # terminals — see `pallas/collapse_block.py`).
     if _XPARTS & 2:
         routed = _route(
             m,
             [tgt_w],
             [[slots_c[:, k], outm[k, :m]] for k in range(4)]
-            + [[count2, outm[4, :m]]],
+            + [[count2, outm[4, :m]], [own_pc, outm[6, :m]]],
         )
         child = jnp.stack(routed[:4], axis=1)  # [m, 4]
         count = routed[4]
+        claims_int = routed[5]
     else:
         child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)
         count = outm[4, :m] + slots_c[0, 0] + count2[0]
+        claims_int = outm[6, :m] + own_pc[0]
 
     # slot AABBs stay lane-major: [4, 6, m] is the kernel's own row layout
     # (one stack of bit views); the coarse emission is one minor-dim
@@ -391,28 +441,14 @@ def _collapse_impl(
     else:
         sp = sp + ab_t[0, 0, 0]
 
-    # claims: internal slot ids live in [0, m), leaf slot ids are m + j —
-    # exactly the index space of concat(parent_w, leaf_parent), so one
-    # combined routing covers both.
-    claims_bg = jnp.concatenate([outm[6, :m], outm[7, :W][:n]])  # [m + n]
-    flat_slots = slots_c.reshape(-1)
-    flat_owner = jnp.repeat(tgt_w, 4)
-    claim_t = jnp.where(
-        (flat_owner < oob) & (flat_slots >= 0), flat_slots, oob
-    )
-    if _XPARTS & 4:
-        (claims,) = _route(m + n, [claim_t], [[flat_owner, claims_bg]])
-    else:
-        claims = claims_bg + claim_t[0]
-
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(
         slot_packed_t=sp,
         child=child,
-        parent=claims[:m],
+        parent=claims_int,
         child_count=count,
         n_nodes=n_nodes,
         leaf_prim=left[m:],
-        leaf_parent=claims[m:],
+        leaf_parent=outm[7, :W][:n],
         root=bvh.root.astype(I32),
     )

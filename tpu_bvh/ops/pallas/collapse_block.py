@@ -46,8 +46,10 @@ hops, guaranteed <= S_LEN, covered by 6 doubling trips).
 
 Input layout (lane-major i32, lanes = boundaries; lane j also carries leaf j):
   meta [8, W]: 0 area bits (f32>=0, i32-comparable), 1 left, 2 right,
-               3 parent, 4 seed state (0/1/2; 3 = unseeded), 5 short flag,
-               6 coarse e2 (dense; -1 elsewhere), 7 unused
+               3 parent, 4 packed (seed state << 23 | coarse e2 + 1;
+               state 3 = unseeded), 5 short flag, 6 own_parent + 1 at
+               seed lanes (nearest wide ancestor of the seed's parent;
+               0 = none), 7 leaf lane j's bvh2 parent
   node8 [8, W]: rows 0..5 = node packed (min xyz, -max xyz) f32 bits
   leaf8 [8, W]: rows 0..5 = leaf packed, leaf j at column j
 
@@ -177,9 +179,13 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     left = meta[1:2, :]
     right = meta[2:3, :]
     parent = meta[3:4, :]
-    seed = meta[4:5, :]
+    packed4 = meta[4:5, :]  # seed state << 23 | coarse e2 + 1
+    seed = packed4 >> 23
+    e2in = (packed4 & ((1 << 23) - 1)) - 1
     shortf = meta[5:6, :]
-    e2in = meta[6:7, :]
+    ownp1 = meta[6:7, :]  # own_parent + 1 at seed lanes (0 = none)
+    own_in = ownp1 - 1
+    has_own = ownp1 > 0
     is_int = (lane >= 0) & (lane < m)
     shortv = (shortf == 1) & is_int
 
@@ -343,13 +349,21 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
     # A slot's owner is its nearest WIDE proper ancestor, and expansion
     # reaches at most 2 levels below a wide node, so the owner of node i
     # (resp. leaf j) is the first WIDE among {p, gp, ggp} (its parent
-    # chain). SHORT claimers are ancestors => within +-(S_LEN + 2) lanes;
-    # a chain hop that leaves the window can only land on a COARSE
-    # claimer, whose claims the XLA merge scatters in afterwards — the
-    # kernel safely reports -1 there. Three stacked (parent*4 | state)
-    # pulls replace the 67-offset slot-matching sweep (~6x cheaper).
-    # (parent + 1) so the root's packed value stays non-negative
-    pk_row = jnp.where(is_int, (parent + 1) * 4 + jnp.minimum(state, 2), -1)
+    # chain). Chains only walk SHORT non-seed ancestors (any short node
+    # whose parent is coarse is a seeded child-of-coarse), and short
+    # ancestors contain the lane's boundary => every hop stays within
+    # +-(S_LEN + 2) lanes. Chains TERMINATE at seed lanes, whose packed
+    # value encodes the final answer directly: own_inc(x) = x if x is
+    # wide, else own_parent(x) (the XLA-routed nearest-wide-ancestor of
+    # the seed's parent) — tag 3 marks the terminal. Three stacked
+    # (claim*4 | tag) pulls replace the 67-offset slot-matching sweep.
+    # (value + 1) so the root's packed value stays non-negative.
+    term_claim = jnp.where(state == _WIDE, lane, own_in)
+    pk_row = jnp.where(
+        is_int & has_own,
+        (term_claim + 1) * 4 + 3,
+        jnp.where(is_int, (parent + 1) * 4 + jnp.minimum(state, 2), -1),
+    )
     leafp = meta[7:8, :]  # leaf lane j's bvh2 parent (boundary j-1 or j)
 
     claim_int = jnp.full((1, s), -1, I32)
@@ -384,12 +398,20 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
         def first_wide(cands):
             c = jnp.full((1, s), -1, I32)
             for t, pk in reversed(cands):
-                c = jnp.where((pk >= 0) & ((pk & 3) == _WIDE), t, c)
+                hit_w = (pk >= 0) & ((pk & 3) == _WIDE)
+                hit_t = (pk >= 0) & ((pk & 3) == 3)  # seed terminal
+                c = jnp.where(hit_w, t, jnp.where(hit_t, (pk >> 2) - 1, c))
             return c
 
         claim_int = jnp.where(
             is_wide & (parent >= 0),
-            first_wide([(parent, pk_p), (gp, pk_gp), (ggp, pk_ggp)]),
+            # a seeded wide lane's claimer is own_parent directly (its
+            # parent may be a far-away coarse node, outside every window)
+            jnp.where(
+                has_own,
+                own_in,
+                first_wide([(parent, pk_p), (gp, pk_gp), (ggp, pk_ggp)]),
+            ),
             claim_int,
         )
         is_leaf_lane = (lane >= 0) & (lane < m + 1)  # leaf j at column j
@@ -444,8 +466,7 @@ def collapse_block_pallas(meta, node8, leaf8, m: int, n_trips: int = 6,
     if pad:
         padm = jnp.zeros((8, pad), I32)
         padm = padm.at[1:4].set(-1)  # left/right/parent invalid
-        padm = padm.at[4].set(_UNK)
-        padm = padm.at[6].set(-1)
+        padm = padm.at[4].set(_UNK << 23)  # unseeded, e2 = -1
         meta = jnp.concatenate([meta, padm], axis=1)
         node8 = jnp.concatenate([node8, jnp.zeros((8, pad), I32)], axis=1)
         leaf8 = jnp.concatenate([leaf8, jnp.zeros((8, pad), I32)], axis=1)
