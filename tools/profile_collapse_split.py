@@ -64,8 +64,7 @@ import tpu_bvh.ops.collapse_fast as CF
 orig = CF.collapse_block_pallas
 
 
-def passthrough(meta, node8, leaf8, m, n_trips=6, interpret=False):
-    W = meta.shape[1]
+def passthrough(meta, node8, leaf8, carr, m, n_trips=None, interpret=False):
     outm = jnp.tile(meta[0:1], (8, 1)).astype(I32)
     return outm, [node8, node8, leaf8, leaf8]
 

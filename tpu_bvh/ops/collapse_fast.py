@@ -20,9 +20,14 @@ Three stages (see `pallas/collapse_block.py` for the locality argument):
      expansion simulation + 3-state transition pointer doubling on the
      compacted arrays (gathers at coarse size are ~0.1 ms, not ~1.9 ms),
      and derive states for coarse nodes AND their direct children (the
-     seeds that keep every in-kernel pull bounded).
-  3. Pallas blocked kernel: everything else for the ~96% short nodes.
-  4. Merge: scatter coarse rows into the kernel's dense outputs.
+     seeds that keep every in-kernel pull bounded). EVERYTHING the coarse
+     stage produces (seeds, slots, counts, slot AABBs, claims) is scattered
+     into dense kernel-input rows by two lane-dim column scatters.
+  3. Pallas blocked kernel: the ~96% short nodes, PLUS pass-through
+     emission of the scattered coarse rows at coarse-wide lanes — the
+     kernel's dense outputs ARE the Bvh4, so there is no post-kernel merge
+     (the r4 design paid two 6-channel routing sorts + a [4,6,m] scatter
+     after the kernel; r5 folds all of it into the kernel's selects).
 
 The coarse capacity is static but only a HEURISTIC bound: 2n/(S_LEN+1)
 covers bushy trees (each long node would need > S_LEN *disjoint* leaves for
@@ -48,12 +53,6 @@ I32 = jnp.int32
 _WIDE, _E1, _E2, _UNK = 0, 1, 2, 3
 _BIGKEY = jnp.int32(2**30)
 
-# perf-isolation bitmask (tools/ only; != 31 gives WRONG results):
-# 1 seed/e2/own route, 2 slots+claims route, 8 sp scatter
-import os as _os
-
-_XPARTS = int(_os.environ.get("TBVH_COLLAPSE_XPARTS", "31"))
-
 
 def _f_bits(x):
     return lax.bitcast_convert_type(x, I32)
@@ -65,42 +64,6 @@ def _bits_f(x):
 
 def _apply(table, s):
     return (table >> (2 * s)) & 3
-
-
-def _route(width, tgts, val_lists):
-    """Sort-based scatter replacement (measured v5e: XLA scatters cost
-    ~50 ns per index, ~2-3 ms at the coarse-merge index counts; two
-    unstable sorts route the same data in ~0.5 ms).
-
-    Produces, for every position p in [0, width): the routed values of the
-    highest-priority entry targeting p (priority = order in `tgts`), or
-    the background value. Duplicate targets must carry equal values (the
-    same contract XLA scatter determinism required). tgts: list of i32
-    index arrays (out-of-range = dropped); val_lists[j]: per-value-channel
-    list, one array per tgt PLUS the [width] background as the last
-    element. Returns one [width] array per value channel.
-    """
-    idx_bg = jnp.arange(width, dtype=I32)
-    src = jnp.concatenate(list(tgts) + [idx_bg])
-    pri_parts = [jnp.full(t.shape, k, I32) for k, t in enumerate(tgts)]
-    pri = jnp.concatenate(pri_parts + [jnp.full((width,), len(tgts), I32)])
-    nt = len(tgts) + 1
-    oob = (src < 0) | (src >= width)
-    key1 = jnp.where(oob, width * nt + nt, src * nt + pri).astype(jnp.uint32)
-    vals = [jnp.concatenate(ch) for ch in val_lists]
-    out1 = lax.sort((key1, *vals), num_keys=1, is_stable=False)
-    k1 = out1[0]
-    grp = (k1 // nt).astype(I32)
-    firsts = jnp.concatenate(
-        [jnp.ones((1,), bool), grp[1:] != grp[:-1]]
-    )
-    ncat = k1.shape[0]
-    rank = jnp.arange(ncat, dtype=I32)
-    key2 = jnp.where(
-        firsts & (grp < width), grp, width + rank
-    ).astype(jnp.uint32)
-    out2 = lax.sort((key2, *out1[1:]), num_keys=1, is_stable=False)
-    return [o[:width] for o in out2[1:]]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -314,8 +277,8 @@ def _collapse_impl(
     # own_parent(x)), and (b) the self-claim of a seeded wide lane.
     own_pc = jnp.where(p_rank >= 0, own_inc[jnp.clip(p_rank, 0, ccap - 1)], -1)
 
-    # ---- dense seed/e2/own rows for the kernel (sort-routed) ----
-    # Routing targets can collide: a coarse node that is itself the child
+    # ---- dense seed/e2/own rows for the kernel (one lane-dim scatter) ----
+    # Scatter targets can collide: a coarse node that is itself the child
     # of a coarse node appears both as a tgt_c row and as a tl/tr row.
     # Duplicate targets must carry EQUAL values, so: (a) the child seed
     # state from `child_state` equals the doubling state (child_state is
@@ -338,37 +301,81 @@ def _collapse_impl(
     # ONE lane-dim scatter, not sort-routing: a [K, m] scatter at column
     # indices costs ~0.4-0.65 ms nearly independent of K on v5e
     # (tools/microbench_merge.py), while the two-sort route paid ~1.4 ms
-    # here. (The r3 "~50 ns/index" scatter cliff was the 3-D
+    # per routing pass. (The r3 "~50 ns/index" scatter cliff was the 3-D
     # [4, 6, m]-at-axis-2 form; 2-D lane scatters are per-index cheap.)
-    # Channel 0 packs (seed state << 23 | e2 + 1) — e2 < 2^22 so both fit
-    # one i32 and the kernel decodes them; channel 1 carries own_parent + 1
-    # (0 = none), the claim terminal that lets the kernel resolve ALL
-    # ownership chains itself (the r3 version needed a third, post-kernel
-    # claims routing pass over [m + n] for coarse-owned slots).
+    # Rows 0-1 are the chain seeds: row 0 packs (seed state << 23 | e2 + 1)
+    # — e2 < 2^22 so both fit one i32 and the kernel decodes them; row 1
+    # carries own_parent + 1 (0 = none), the claim terminal that lets the
+    # kernel resolve ALL ownership chains itself.
+    # Rows 2-33 are the coarse stage's OWN emission, which the kernel
+    # passes through to its dense outputs at flagged lanes — this replaces
+    # the former post-kernel merge (two 6-channel routing sorts + a
+    # [4, 6, m] scatter) with in-kernel selects: 2-5 slot ids, 6 count,
+    # 7 coarse-wide flag, 8-31 slot AABB bits (slot k at rows 8+6k..13+6k),
+    # 32-33 pad (34 rows total).
+    # The tl/tr target groups carry each child's OWN coarse-output column
+    # when the child is itself coarse (rank lookup), else the background —
+    # so duplicate targets stay value-consistent.
     enc_se = lambda st, e2v: st * (1 << 23) + (e2v + 1)
-    pre_bg = jnp.stack(
-        [jnp.full((m,), _UNK << 23, I32), jnp.zeros((m,), I32)], axis=0
+    is_wide_c = cvalid & (state_c == _WIDE)
+    slots_rows = jnp.stack(s_id, axis=0)  # [4, ccap]
+    slotmask = (
+        (jnp.arange(4, dtype=I32)[:, None] < count2[None, :])
+        & is_wide_c[None, :]
     )
+    slots_rows = jnp.where(slotmask, slots_rows, -1)
+    cnt_row = jnp.where(is_wide_c, count2, 0)[None, :]
+    cw_row = is_wide_c.astype(I32)[None, :]
+    ab_rows = jnp.concatenate(
+        [jnp.where(is_wide_c[None, :], s_ab[k], 0) for k in range(4)],
+        axis=0,
+    )  # [24, ccap]
+    cvals = jnp.concatenate(
+        [slots_rows, cnt_row, cw_row, ab_rows], axis=0
+    )  # [30, ccap] rows 2-31 of the scatter payload at tgt_c
+    cbg_col = jnp.concatenate(
+        [jnp.full((4, 1), -1, I32), jnp.zeros((26, 1), I32)], axis=0
+    )  # [30, 1] background column
+
+    def child_cvals(cid):
+        """Coarse-output column of child `cid` (its own, via rank) when the
+        child is itself coarse; background otherwise."""
+        cr = rank[jnp.clip(cid, 0, m - 1)]
+        long_child = ((cid >= 0) & (cid < m)
+                      & (is_long[jnp.clip(cid, 0, m - 1)]) & (cr < ccap))
+        v = cvals[:, jnp.clip(cr, 0, ccap - 1)]
+        return jnp.where(long_child[None, :], v, cbg_col)
+
     pre_t = jnp.concatenate([tgt_c, tl, tr])
-    pre_v = jnp.stack(
+    seed_row = jnp.concatenate(
         [
-            jnp.concatenate(
-                [
-                    enc_se(state_c, e2_c),
-                    enc_se(state_l, child_e2(c_left)),
-                    enc_se(state_r, child_e2(c_right)),
-                ]
-            ),
-            jnp.concatenate([own_pc + 1, own_inc + 1, own_inc + 1]),
+            enc_se(state_c, e2_c),
+            enc_se(state_l, child_e2(c_left)),
+            enc_se(state_r, child_e2(c_right)),
+        ]
+    )[None, :]
+    own_row = jnp.concatenate(
+        [own_pc + 1, own_inc + 1, own_inc + 1]
+    )[None, :]
+    cout = jnp.concatenate(
+        [cvals, child_cvals(c_left), child_cvals(c_right)], axis=1
+    )  # [30, 3*ccap]
+    pre_v = jnp.concatenate(
+        [seed_row, own_row, cout, jnp.zeros((2, 3 * ccap), I32)], axis=0
+    )  # [34, 3*ccap]
+    pre_bg = jnp.concatenate(
+        [
+            jnp.full((1, m), _UNK << 23, I32),
+            jnp.zeros((1, m), I32),
+            jnp.broadcast_to(cbg_col, (30, m)),
+            jnp.zeros((2, m), I32),
         ],
         axis=0,
     )
-    if _XPARTS & 1:
-        pre = pre_bg.at[:, pre_t].set(pre_v, mode="drop")
-    else:
-        pre = pre_bg + pre_v[:, :1]
+    pre = pre_bg.at[:, pre_t].set(pre_v, mode="drop")
     seed_e2 = pre[0]
     own_dense = pre[1]
+    carr = pre[2:34]  # [32, m]: coarse-output rows for the kernel
 
     # ---- kernel inputs (lane-major; W = n columns so leaf n-1 exists) ----
     W = n
@@ -398,54 +405,24 @@ def _collapse_impl(
     leaf8 = jnp.concatenate(
         [_f_bits(pk[:, m:]), jnp.zeros((2, n), I32)], axis=0
     )
+    carr = jnp.concatenate(
+        [carr, jnp.broadcast_to(
+            jnp.concatenate([cbg_col, jnp.zeros((2, 1), I32)], 0),
+            (32, W - m))],
+        axis=1,
+    )
 
+    # The kernel's dense outputs ARE the Bvh4 — no post-kernel merge.
     outm, outa = collapse_block_pallas(
-        meta, node8, leaf8, m, interpret=interpret
+        meta, node8, leaf8, carr, m, interpret=interpret
     )
-
-    # ---- merge kernel outputs with coarse emission (sort-routed) ----
-    slots_c = jnp.stack(s_id, axis=1)  # [ccap, 4]
-    slots_c = jnp.where(
-        jnp.arange(4, dtype=I32)[None, :] < count2[:, None], slots_c, -1
-    )
-    is_wide_c = cvalid & (state_c == _WIDE)
-    tgt_w = jnp.where(is_wide_c, cidx, oob)
-
-    # child slots + count + wide-parent claim in one routing pass (6
-    # channels). The claim of a coarse wide node is its nearest wide strict
-    # ancestor = own_parent (kernel claims cover every SHORT wide node and
-    # every leaf, including coarse-owned ones, via the own_parent chain
-    # terminals — see `pallas/collapse_block.py`).
-    if _XPARTS & 2:
-        routed = _route(
-            m,
-            [tgt_w],
-            [[slots_c[:, k], outm[k, :m]] for k in range(4)]
-            + [[count2, outm[4, :m]], [own_pc, outm[6, :m]]],
-        )
-        child = jnp.stack(routed[:4], axis=1)  # [m, 4]
-        count = routed[4]
-        claims_int = routed[5]
-    else:
-        child = jnp.stack([outm[k, :m] for k in range(4)], axis=1)
-        count = outm[4, :m] + slots_c[0, 0] + count2[0]
-        claims_int = outm[6, :m] + own_pc[0]
-
-    # slot AABBs stay lane-major: [4, 6, m] is the kernel's own row layout
-    # (one stack of bit views); the coarse emission is one minor-dim
-    # scatter at ccap indices — the only scatter left in the collapse
+    count = outm[4, :m]
     sp = _bits_f(jnp.stack([a[0:6, :m] for a in outa], axis=0))  # [4, 6, m]
-    ab_t = _bits_f(jnp.stack(s_ab, axis=0))  # [4, 6, ccap]
-    if _XPARTS & 8:
-        sp = sp.at[:, :, tgt_w].set(ab_t, mode="drop")
-    else:
-        sp = sp + ab_t[0, 0, 0]
-
     n_nodes = jnp.sum((count > 0).astype(I32))
     return Bvh4(
         slot_packed_t=sp,
-        child=child,
-        parent=claims_int,
+        child_t=outm[0:4, :m],
+        parent=outm[6, :m],
         child_count=count,
         n_nodes=n_nodes,
         leaf_prim=left[m:],

@@ -163,8 +163,8 @@ def _folded_cross_pull(values, targets, lane, s, lo, hi):
 
 
 def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
-            leaf_l, leaf_m, leaf_r, outm, outa0, outa1, outa2, outa3,
-            *, blk: int, m: int, n_trips: int):
+            leaf_l, leaf_m, leaf_r, carr_m, outm, outa0, outa1, outa2,
+            outa3, *, blk: int, m: int, n_trips: int):
     cat = lambda a, b, c: jnp.concatenate(
         [a[:, blk - _H :], b[:], c[:, :_H]], axis=1
     )
@@ -389,6 +389,12 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
         )
         pq = dec(pk_q)
         pk_p, pk_pq = chain_pull(parent, pq)
+        # dec() doubles as the next hop target AND, at a seed terminal
+        # (tag 3), the final claim id. Feeding a terminal's decoded claim
+        # back into chain_pull is safe by construction: first_wide scans
+        # candidates in REVERSED order so the nearer terminal overrides
+        # anything pulled beyond it, and an out-of-window pull returns -1
+        # (never a spurious wide hit).
         gp = dec(pk_p)
         gpq = dec(pk_pq)
         pk_gp, pk_gpq = chain_pull(gp, gpq)
@@ -437,28 +443,48 @@ def _kernel(meta_l, meta_m, meta_r, node_l, node_m, node_r,
             ab[k] = jnp.where(match[k : k + 1, :], nT, ab[k])
             ab[k] = jnp.where(match[k + 4 : k + 5, :], lT, ab[k])
 
-    # ---- outputs ----
+    # ---- outputs, with coarse pass-through emission ----
+    # `carr_m` carries the XLA coarse stage's own emission as dense center
+    # rows (0-3 slots, 4 count, 5 coarse-wide flag, 6-29 slot AABB bits):
+    # selecting it at flagged lanes here replaces the old post-kernel merge
+    # routing entirely. Claims at coarse-wide lanes are own_parent (`own_in`
+    # row), the nearest wide strict ancestor the XLA side routed in.
     emit = is_wide
-    slot_rows = [jnp.where(emit, sid, -1) for sid in s_id]
+    ctr = lambda t: t[:, _H : _H + blk]
+    cw = carr_m[5:6, :] == 1
+    slot_rows = [
+        jnp.where(cw, carr_m[k : k + 1, :],
+                  ctr(jnp.where(emit, sid, -1)))
+        for k, sid in enumerate(s_id)
+    ]
     outm_full = jnp.concatenate(
         slot_rows
         + [
-            jnp.where(emit, count2, 0),
-            jnp.where(is_int, state, _UNK),
-            claim_int,
-            claim_leaf,
+            jnp.where(cw, carr_m[4:5, :], ctr(jnp.where(emit, count2, 0))),
+            ctr(jnp.where(is_int, state, _UNK)),
+            jnp.where(cw, ctr(own_in), ctr(claim_int)),
+            ctr(claim_leaf),
         ],
         axis=0,
     )
-    outm[:] = outm_full[:, _H : _H + blk]
+    outm[:] = outm_full
+    zeros2b = jnp.zeros((2, blk), I32)
     for k, ref in enumerate((outa0, outa1, outa2, outa3)):
-        ref[:] = jnp.where(emit, ab[k], 0)[:, _H : _H + blk]
+        c_ab = jnp.concatenate(
+            [carr_m[6 + 6 * k : 12 + 6 * k, :], zeros2b], axis=0
+        )
+        ref[:] = jnp.where(cw, c_ab, ctr(jnp.where(emit, ab[k], 0)))
 
 
-def collapse_block_pallas(meta, node8, leaf8, m: int, n_trips: int = 6,
+def collapse_block_pallas(meta, node8, leaf8, carr, m: int,
+                          n_trips: int | None = None,
                           interpret: bool = False):
-    """meta/node8/leaf8: i32[8, W] (layout in module doc; W >= m + 1).
+    """meta/node8/leaf8: i32[8, W]; carr: i32[32, W] coarse-output rows
+    (layouts in module doc; W >= m + 1).
     Returns (outm i32[8, W], outa list of 4 i32[8, W])."""
+    if n_trips is None:
+        # doubling must cover the longest short chain (<= S_LEN + 2 hops)
+        n_trips = max(3, (S_LEN + 2).bit_length())
     W = meta.shape[1]
     blk = min(_BLK, -(-W // 256) * 256)
     blk = max(blk, 512)
@@ -470,6 +496,8 @@ def collapse_block_pallas(meta, node8, leaf8, m: int, n_trips: int = 6,
         meta = jnp.concatenate([meta, padm], axis=1)
         node8 = jnp.concatenate([node8, jnp.zeros((8, pad), I32)], axis=1)
         leaf8 = jnp.concatenate([leaf8, jnp.zeros((8, pad), I32)], axis=1)
+        padc = jnp.zeros((32, pad), I32).at[0:4].set(-1)
+        carr = jnp.concatenate([carr, padc], axis=1)
     Wp = meta.shape[1]
     grid = Wp // blk
     clamp = lambda i: jnp.clip(i, 0, grid - 1)
@@ -486,10 +514,10 @@ def collapse_block_pallas(meta, node8, leaf8, m: int, n_trips: int = 6,
     outm, a0, a1, a2, a3 = pl.pallas_call(
         functools.partial(_kernel, blk=blk, m=m, n_trips=n_trips),
         grid=(grid,),
-        in_specs=specs * 3,
+        in_specs=specs * 3 + [pl.BlockSpec((32, blk), lambda i: (0, i))],
         out_specs=[pl.BlockSpec((8, blk), lambda i: (0, i))] * 5,
         out_shape=[jax.ShapeDtypeStruct((8, Wp), I32)] * 5,
         interpret=interpret,
         **kwargs,
-    )(meta, meta, meta, node8, node8, node8, leaf8, leaf8, leaf8)
+    )(meta, meta, meta, node8, node8, node8, leaf8, leaf8, leaf8, carr)
     return outm[:, :W], [a0[:, :W], a1[:, :W], a2[:, :W], a3[:, :W]]

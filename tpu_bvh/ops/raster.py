@@ -139,8 +139,22 @@ def _cone_vs_aabb(eye, dmin, dmax, bmin, bmax):
 
     Shapes broadcast; last axis is xyz.
     """
-    a = bmin - eye  # need t*dmax >= a
-    b = bmax - eye  # need t*dmin <= b
+    return _interval_cull(bmin - eye, bmax - eye, dmin, dmax)
+
+
+def _obox_vs_aabb(omin, omax, dmin, dmax, bmin, bmax):
+    """`_cone_vs_aabb` generalized to an origin BOX [omin, omax]: can any
+    ray with origin in the box and direction in [dmin, dmax] hit the AABB?
+    Per axis the t>=0 reachable interval is
+    [omin + t*dmin, omax + t*dmax] — the same slab-interval logic with the
+    gap measured from the nearest origin face. Used by the general-ray
+    sweep engine (`ray_sweep.py`), where rays do not share an eye."""
+    return _interval_cull(bmin - omax, bmax - omin, dmin, dmax)
+
+
+def _interval_cull(a, b, dmin, dmax):
+    """Shared core: exists t >= 0 with t*dmax >= a and t*dmin <= b per
+    axis, intersected over axes. Returns (possible, t_lower)."""
 
     # t*dmax >= a: dmax>0 -> t >= a/dmax (if a>0) else all t;
     #              dmax<=0 -> all t if a<=0, else empty... except dmax<0 &

@@ -244,13 +244,20 @@ def _prepare_pairs(eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, group):
 
     Returns (pair_tid i32[P] (-1 pad), g_ct i32[P/G], g_first i32[P/G],
     overflow bool[])."""
-    nt = bmin.shape[0]
     d = dirs_ct  # [CT, 3, 4096]
     dmin = jnp.min(d, axis=2)
     dmax = jnp.max(d, axis=2)
     possible, t_lb = R._cone_vs_aabb(
         eye, dmin[:, None, :], dmax[:, None, :], bmin[None], bmax[None]
     )  # [CT, T]
+    return _compact_pairs(possible, t_lb, n_ct, cand_cap, pair_cap, group)
+
+
+def _compact_pairs(possible, t_lb, n_ct, cand_cap, pair_cap, group):
+    """[CT, T] candidate mask + conservative entry-t -> flat padded pair
+    list in per-row front-to-back order (shared by the raster and
+    general-ray sweep engines; compaction by sorts, never scatters)."""
+    nt = possible.shape[1]
     key = jnp.where(possible, t_lb, BIG)
     tid = jnp.broadcast_to(jnp.arange(nt, dtype=I32)[None, :], key.shape)
     key_s, tid_s = lax.sort((key, tid), num_keys=1)  # per-row ascending

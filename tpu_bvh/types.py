@@ -91,12 +91,15 @@ class Bvh4(NamedTuple):
     Slot AABBs are stored lane-major (`slot_packed_t[k, :, x]` = slot k of
     wide node x as (min xyz, -max xyz)) — the layout the collapse kernel
     emits and the SAH evaluator consumes; an `[K, 4, 3]` array would pay the
-    TPU minor-dim lane pad on every materialization. `child_min`/`child_max`
-    are row-major convenience views for oracles and tests.
+    TPU minor-dim lane pad on every materialization. Child ids are likewise
+    lane-major (`child_t` i32[4, K]): materializing an i32[K, 4] pads the
+    minor dim to 128 lanes (32x the logical bytes — ~134 MB at 262K nodes).
+    `child`/`child_min`/`child_max` are row-major convenience views for
+    oracles and tests.
     """
 
     slot_packed_t: jax.Array  # f32[4, 6, K] (min xyz, -max xyz per slot)
-    child: jax.Array  # i32[K, 4] (INVALID for empty slots)
+    child_t: jax.Array  # i32[4, K] (INVALID for empty slots)
     parent: jax.Array  # i32[K]
     child_count: jax.Array  # i32[K]
     n_nodes: jax.Array  # i32[] number of wide internal nodes actually used
@@ -112,7 +115,13 @@ class Bvh4(NamedTuple):
     def n_internal_cap(self) -> int:
         """Static capacity of the wide-internal-node array; also the leaf
         index bias (leaf slot = child - n_internal_cap)."""
-        return self.child.shape[0]
+        return self.child_t.shape[-1]
+
+    @property
+    def child(self) -> jax.Array:
+        """Row-major i32[K, 4] view (oracle/test interface — pays the
+        minor-dim lane pad; hot paths should consume `child_t`)."""
+        return self.child_t.T
 
     @property
     def child_min(self) -> jax.Array:
@@ -125,13 +134,14 @@ class Bvh4(NamedTuple):
         return -self.slot_packed_t[:, 3:6, :].transpose(2, 0, 1)
 
     @classmethod
-    def from_rowmajor(cls, child_min, child_max, **kw) -> "Bvh4":
-        """Construct from `[K, 4, 3]` slot AABBs (non-production paths)."""
+    def from_rowmajor(cls, child_min, child_max, child, **kw) -> "Bvh4":
+        """Construct from `[K, 4, 3]` slot AABBs + `[K, 4]` child ids
+        (non-production paths)."""
         sp = jnp.concatenate(
             [child_min.transpose(1, 2, 0), -child_max.transpose(1, 2, 0)],
             axis=1,
         )
-        return cls(slot_packed_t=sp, **kw)
+        return cls(slot_packed_t=sp, child_t=child.T, **kw)
 
 
 class PrimRefs(NamedTuple):

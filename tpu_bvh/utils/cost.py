@@ -34,7 +34,7 @@ def sah_cost_bvh4(bvh4, prim_aabb_min, prim_aabb_max) -> jnp.ndarray:
     AABBs), normalized by the root AABB area. Works directly on the
     lane-major slot store (f32[4, 6, K]) — no [K, 4, 3] materialization."""
     cap = bvh4.n_internal_cap
-    child = bvh4.child  # i32[K,4]
+    child_t = bvh4.child_t  # i32[4,K]
     sp = bvh4.slot_packed_t  # f32[4, 6, K] (min xyz, -max xyz)
 
     ext = jnp.maximum(-sp[:, 3:6, :] - sp[:, 0:3, :], 0.0)  # [4, 3, K]
@@ -42,7 +42,7 @@ def sah_cost_bvh4(bvh4, prim_aabb_min, prim_aabb_max) -> jnp.ndarray:
         ext[:, 0] * ext[:, 1] + ext[:, 0] * ext[:, 2] + ext[:, 1] * ext[:, 2]
     )  # [4, K]
 
-    root_valid = child[bvh4.root] >= 0  # [4]
+    root_valid = child_t[:, bvh4.root] >= 0  # [4]
     root_pk = jnp.min(
         jnp.where(root_valid[:, None], sp[:, :, bvh4.root], jnp.inf), axis=0
     )  # [6] packed union (min xyz, -max xyz)
@@ -59,7 +59,7 @@ def sah_cost_bvh4(bvh4, prim_aabb_min, prim_aabb_max) -> jnp.ndarray:
     # used-slot mask by child_count: holds for both the dense queue-ordered
     # numbering (used slots = prefix) and the sparse fast-collapse numbering
     is_used = (bvh4.child_count > 0)[None, :]
-    is_internal_child = (child.T >= 0) & (child.T < cap) & is_used  # [4, K]
+    is_internal_child = (child_t >= 0) & (child_t < cap) & is_used  # [4, K]
     cost = 1.0 + jnp.sum(jnp.where(is_internal_child, child_areas, 0.0)) * inv_root
 
     leaf_areas = A.area(prim_aabb_min[bvh4.leaf_prim], prim_aabb_max[bvh4.leaf_prim])
