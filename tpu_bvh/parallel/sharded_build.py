@@ -4,8 +4,9 @@ SURVEY.md §5's missing scaling axis: one huge scene's triangles sharded
 across chips, the whole build pipeline running SPMD with ICI collectives
 where the reference uses single-GPU global memory (the smem apron of
 `/root/reference/src/Ploc++Kernel.h:220-227` becomes a ppermute halo; the
-global radix sort becomes an odd-even merge-split network; the atomic-climb
-refit becomes carry-combined scans + query routing with `lax.pmin`).
+global radix sort becomes a deterministic PSRS sample sort — ONE ragged
+all-to-all, not an O(p)-round merge-split network; the atomic-climb refit
+becomes carry-combined scans + query routing with `lax.pmin`).
 
 Everything is deterministic and **bit-identical** to the single-device
 `models.lbvh.build_single_pass` tree:
@@ -57,57 +58,144 @@ def _floor_log2(x):
 
 
 # ---------------------------------------------------------------------------
-# distributed sort: local sort + odd-even transposition merge-split rounds
+# distributed sort: deterministic PSRS sample sort (O(1) collective rounds)
 # ---------------------------------------------------------------------------
+#
+# Replaces the r4 odd-even transposition network, whose O(p) merge-split
+# rounds made the scaling table ANTI-scale (more devices = more rounds).
+# Schedule: local sort -> regular-sample splitter broadcast -> ONE ragged
+# all-to-all by splitter bucket -> local sort of the bucket -> one +-1
+# neighbor balance exchange that restores the exact [sL, (s+1)L) global
+# rank ownership. Regular sampling bounds the splitter-rank drift to
+# |R_b - b*L| <= L (each shard contributes its kL/p-th items; the b*p-th
+# sample has between bL-1 and bL+L smaller elements), so every bucket fits
+# 2L+2 slots and the balance pass only ever touches direct neighbors.
+# Deterministic: the sort key (code, gidx) is a total order, splitters are
+# rank-chosen, and the drift bound is checked (overflow=True on violation
+# — degenerate only if the sampling identity itself is broken).
 
 
-def _merge_split(ops, partner, keep_low, axis):
-    """Exchange full local arrays with `partner` (ppermute), sort the 2L
-    union by (code, gidx), keep the low or high half. `partner == -1`
-    (encoded as self) keeps the local data untouched via masking."""
-    L = ops[0].shape[0]
-    perm_pairs = partner  # list of (src, dst) built by caller
-    exchanged = [lax.ppermute(o, axis, perm_pairs) for o in ops]
-    both = [jnp.concatenate([a, b]) for a, b in zip(ops, exchanged)]
-    srt = lax.sort(tuple(both), num_keys=2, is_stable=False)
-    low = [x[:L] for x in srt]
-    high = [x[L:] for x in srt]
-    return low, high
+def _psrs_key_le(sc, sg, c, g):
+    """(sc, sg) <= (c, g) in (u32, i32-nonneg) lexicographic order."""
+    return (sc < c) | ((sc == c) & (sg <= g))
 
 
-def _odd_even_sort(ops, p, axis):
-    """Odd-even transposition sort across p shards; local arrays already
-    sorted. By the 0-1 principle, p rounds of neighbor merge-split sort any
-    input. ops[0:2] = (codes u32, gidx i32) are the sort keys."""
-    idx = lax.axis_index(axis)
-    for r in range(p):
-        if r % 2 == 0:
-            pairs = [(2 * k, 2 * k + 1) for k in range(p // 2)]
-        else:
-            pairs = [(2 * k + 1, 2 * k + 2) for k in range((p - 1) // 2)]
-        active = set()
-        perm = []
-        for a, b in pairs:
-            perm += [(a, b), (b, a)]
-            active.add(a)
-            active.add(b)
-        for s in range(p):
-            if s not in active:
-                perm.append((s, s))
-        low, high = _merge_split(ops, perm, None, axis)
-        if r % 2 == 0:
-            is_lower = idx % 2 == 0
-            is_upper = idx % 2 == 1
-        else:
-            is_lower = (idx % 2 == 1) & (idx < p - 1)
-            is_upper = (idx % 2 == 0) & (idx > 0)
-        if p % 2 == 1 and r % 2 == 0:
-            is_lower = is_lower & (idx < p - 1)
-        ops = [
-            jnp.where(is_lower, lo, jnp.where(is_upper, hi, o))
-            for o, lo, hi in zip(ops, low, high)
-        ]
-    return ops
+def _sample_sort(ops, p, axis, L):
+    """ops: 8 channels [L] (codes u32, gidx i32, 6 f32), locally sorted by
+    (code, gidx). Returns (ops with shard s owning global ranks
+    [sL, (s+1)L) fully sorted, overflow bool)."""
+    if p == 1:
+        return ops, jnp.zeros((), bool)
+    s_idx = lax.axis_index(axis)
+    codes, gidx = ops[0], ops[1]
+    C = 2 * L + 8  # bucket capacity (PSRS bound 2L+2, padded up)
+
+    # ---- splitters from regular samples ----
+    samp_pos = (jnp.arange(p, dtype=I32) + 1) * L // p - 1
+    sc = codes[samp_pos]
+    sg = gidx[samp_pos]
+    all_sc = lax.all_gather(sc, axis).reshape(p * p)
+    all_sg = lax.all_gather(sg, axis).reshape(p * p)
+    all_sc, all_sg = lax.sort((all_sc, all_sg), num_keys=2)
+    spl_c = all_sc[jnp.arange(1, p, dtype=I32) * p - 1]  # [p-1]
+    spl_g = all_sg[jnp.arange(1, p, dtype=I32) * p - 1]
+
+    # ---- destination bucket per item (non-decreasing: array is sorted) --
+    dst = jnp.sum(
+        _psrs_key_le(
+            spl_c[None, :], spl_g[None, :], codes[:, None], gidx[:, None]
+        ).astype(I32),
+        axis=1,
+    )  # [L] in [0, p)
+    counts = jnp.sum(
+        dst[:, None] == jnp.arange(p, dtype=I32)[None, :], axis=0
+    )  # [L]->[p]
+    in_off = jnp.concatenate(
+        [jnp.zeros((1,), I32), jnp.cumsum(counts)[:-1]]
+    )
+    cmat = lax.all_gather(counts, axis)  # [p_src, p_dst]
+
+    # ---- exchange: masked all-gather + ONE local merge sort ----
+    # The bucket exchange is logically a ragged all-to-all; XLA:CPU (the
+    # virtual-device mesh every test and the driver dryrun validate on)
+    # does not implement `ragged-all-to-all`, so the portable form gathers
+    # each channel and masks to my runs — item (src, i) is mine iff
+    # in_off_src[me] <= i < in_off_src[me] + cmat[src, me]. One 8-channel
+    # sort of the gathered block then merges the runs (fill keys sort
+    # last) and the bucket is its first C columns. Still O(1) collective
+    # rounds — the O(p) round count, not bytes, is what made the odd-even
+    # network anti-scale. On a real ICI mesh `lax.ragged_all_to_all`
+    # (XLA:TPU implements it) can replace the gather+mask verbatim: send
+    # sizes = counts, input offsets = in_off, output offsets = the
+    # column-wise exclusive cumsum of cmat, recv sizes = cmat[:, me].
+    fill = [jnp.uint32(0xFFFFFFFF), _BIG] + [_BIG] * 6  # pad keys sort last
+    io_all = lax.all_gather(in_off, axis)  # [p_src, p_dst]
+    lo_run = io_all[:, s_idx][:, None]  # [p, 1]
+    hi_run = lo_run + cmat[:, s_idx][:, None]
+    ii = jnp.arange(L, dtype=I32)[None, :]
+    mine = (ii >= lo_run) & (ii < hi_run)
+    flat = []
+    for k, op in enumerate(ops):
+        ab = lax.all_gather(op, axis)  # [p, L]
+        f = fill[k] if k < 2 else jnp.float32(_FBIG)
+        flat.append(jnp.where(mine, ab, f).reshape(p * L))
+    merged = lax.sort(tuple(flat), num_keys=2, is_stable=False)
+    buf = [x[:C] for x in merged]
+
+    # ---- global bucket offsets + drift-bound honesty check ----
+    sizes = jnp.sum(cmat, axis=0)  # [p] destination bucket sizes
+    r_all = jnp.concatenate(
+        [jnp.zeros((1,), I32), jnp.cumsum(sizes)]
+    )  # [p+1] exclusive bucket ranks
+    drift = jnp.max(
+        jnp.abs(r_all[:p] - jnp.arange(p, dtype=I32) * L)
+    )
+    overflow = (drift > L) | (jnp.max(sizes) > C)
+
+    # ---- +-1 neighbor balance: exchange tails/heads, rank-slice ----
+    # My final item of global rank g comes from the left bucket (g <
+    # r_mine), my own bucket, or the right bucket (g >= r_mine + mysize);
+    # the drift bound makes those the ONLY possibilities. Each candidate is
+    # one dynamic_slice whose start stays un-clamped by construction:
+    #   left  : from_left[j'] has rank (r_mine - L) + j'; start = lo_want -
+    #           r_mine + L in [0, 2L]  (back-pad 2L)
+    #   mine  : start = lo_want - r_mine in [-L, L]       (front-pad L)
+    #   right : from_right[j'] has rank r_next + j'; start = lo_want -
+    #           r_next in [-2L, 0]                        (front-pad 2L)
+    # Consumed lanes are always valid: lo_want >= r_all[s-1] and
+    # lo_want + L <= r_next + L, again by the drift bound.
+    mysize = sizes[s_idx]
+    r_mine = r_all[s_idx]
+    r_next = r_all[jnp.minimum(s_idx + 1, p)]
+    right_to_left = [(t, t - 1) for t in range(1, p)]
+    left_to_right = [(t, t + 1) for t in range(p - 1)]
+    lo_want = s_idx * L
+    j = jnp.arange(L, dtype=I32)
+    gr = lo_want + j
+    use_l = gr < r_mine
+    use_r = gr >= r_mine + mysize
+    outs = []
+    for k, b in enumerate(buf):
+        f = fill[k] if k < 2 else jnp.float32(_FBIG)
+        pad = lambda m: jnp.full((m,), f, b.dtype)
+        # left neighbor's last L valid items travel right (front-padded
+        # slice covers buckets smaller than L)
+        bp = jnp.concatenate([pad(L), b])
+        tailL = lax.dynamic_slice(bp, (mysize,), (L,))
+        from_left = lax.ppermute(tailL, axis, left_to_right)
+        # right neighbor's first L items travel left
+        from_right = lax.ppermute(b[:L], axis, right_to_left)
+        cl = lax.dynamic_slice(
+            jnp.concatenate([from_left, pad(2 * L)]),
+            (lo_want - r_mine + L,), (L,),
+        )
+        cm = lax.dynamic_slice(bp, (lo_want - r_mine + L,), (L,))
+        cr = lax.dynamic_slice(
+            jnp.concatenate([pad(2 * L), from_right]),
+            (lo_want - r_next + 2 * L,), (L,),
+        )
+        outs.append(jnp.where(use_l, cl, jnp.where(use_r, cr, cm)))
+    return outs, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +457,7 @@ def build_single_pass_sharded(
         gidx = lo + jnp.arange(L, dtype=I32)
         ops = [codes, gidx, mnx, mny, mnz, -mxx, -mxy, -mxz]
         ops = list(lax.sort(tuple(ops), num_keys=2, is_stable=False))
-        ops = _odd_even_sort(ops, p, axis)
+        ops, sort_ovf = _sample_sort(ops, p, axis, L)
         codes, leaf_prim = ops[0], ops[1]
         leaf_cols = jnp.stack(ops[2:8], axis=0)  # [6, L] (min, -max)
 
@@ -432,7 +520,9 @@ def build_single_pass_sharded(
             [jnp.where(short, acc[k], long_cols[k]) for k in range(6)],
             axis=0,
         )
-        overflow = lax.pmax((n_long > cap).astype(I32), axis) > 0
+        overflow = (
+            lax.pmax((n_long > cap).astype(I32), axis) > 0
+        ) | (lax.pmax(sort_ovf.astype(I32), axis) > 0)
 
         # ---- links (apetrei layout, global ids) ----
         is_root = (first == 0) & (last == n - 1) & (gb < m)
