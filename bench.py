@@ -719,8 +719,33 @@ def main() -> None:
                 jnp.float32,
             )
             eps = 1e-3 * diag
-            tcl = jnp.minimum(hit_k.t, 2.0 * diag)
-            so = rays.origin + rays.direction * tcl[:, None]
+            # the REAL shadow workload: rays only from primary-HIT
+            # surfaces (a renderer never shadows a miss pixel), at 1080p
+            # scale, COMPACTED host-side to the live set (ray-queue
+            # compaction — standard wavefront-renderer practice; fixed
+            # engine costs amortize over real rays only). Pad rows are
+            # dead (tmax = -1) and cost nothing.
+            wf2, hf2 = 1920, 1080
+            rays_sf = camera.generate_rays(cam, wf2, hf2)
+            hit_f, _cf, _of = raster_tpu._render_tpu_impl(
+                rpack.tris_sorted, rpack.prim_ids, rays_sf, tr,
+                wf2, hf2, 1024, 4096, 32, 64, False,
+            )
+            live_f = np.asarray(hit_f.prim_idx) >= 0
+            idx_live = np.where(live_f)[0]
+            n_shadow = int(idx_live.size)
+            n_pad = -(-n_shadow // 4096) * 4096
+            idx_pad = np.concatenate(
+                [idx_live, np.full((n_pad - n_shadow,), idx_live[0])]
+            )
+            live = jnp.asarray(
+                np.arange(n_pad) < n_shadow
+            )
+            sel = jnp.asarray(idx_pad, dtype=jnp.int32)
+            o_sel = rays_sf.origin[sel]
+            d_sel = rays_sf.direction[sel]
+            t_sel = jnp.minimum(hit_f.t[sel], 2.0 * diag)
+            so = o_sel + d_sel * t_sel[:, None]
             dvec = light[None, :] - so
             dist = jnp.linalg.norm(dvec, axis=1)
             dl = dvec / jnp.maximum(dist, 1e-9)[:, None]
@@ -728,19 +753,24 @@ def main() -> None:
                 origin=so + dl * eps,
                 direction=dl,
                 tmin=jnp.zeros_like(dist),
-                tmax=dist - 2 * eps,
+                tmax=jnp.where(live, dist - 2 * eps, -1.0),
             )
-            n_shadow = int(dist.shape[0])
+
+            # the general (closest-hit, arbitrary-origin) row runs on a
+            # 64K slice — full-set forward tracing is ~115 ms/iter and the
+            # row's job is to price the GENERAL engine, not the workload
+            nv = min(65536, int(srays.origin.shape[0]))
+            srays_v = _Rays(*(f[:nv] for f in srays))
 
             def shadow_loop(k):
                 def body(i, carry):
                     acc, any_ovf = carry
-                    r2 = srays._replace(
-                        origin=srays.origin + i.astype(jnp.float32) * 1e-6
+                    r2 = srays_v._replace(
+                        origin=srays_v.origin + i.astype(jnp.float32) * 1e-6
                     )
                     hit, _c, ovf = ray_sweep._trace_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                        1024, 16384, 32, 64, False,
+                        4096, 24576, 32, 64, False,
                     )
                     return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
 
@@ -750,28 +780,69 @@ def main() -> None:
                 return acc + any_ovf.astype(jnp.float32)
 
             ms_s, spr_s = _slope_stats(shadow_loop, k_lo=1, k_hi=4, reps=5)
-            mrays_s = n_shadow / (ms_s * 1e-3) / 1e6
+            mrays_s = nv / (ms_s * 1e-3) / 1e6
             print(
                 f"shadow rays(general sweep): {ms_s:.3f} ms (±{spr_s:.0f}%) "
-                f"for {n_shadow} rays = {mrays_s:.1f} Mrays/s (target 50)",
+                f"for {nv} surface-origin rays = {mrays_s:.1f} Mrays/s",
                 file=sys.stderr,
                 flush=True,
             )
 
-            # oracle verify (wavefront ignores tmax: cap its answer)
+            # reversed fast path: pinhole-at-the-light occlusion query
+            # (same world segments, boolean answer identical) — the
+            # throughput row for the target
+            spoints = so
+            light_j = light
+
+            def shadow_rev_loop(k):
+                def body(i, carry):
+                    acc, any_ovf = carry
+                    occ, _c, ovf = ray_sweep.shadow_occlusion(
+                        rpack,
+                        spoints + i.astype(jnp.float32) * 1e-6,
+                        live, light_j, tr, float(eps),
+                        4096, 32768, 32, False,
+                    )
+                    return (acc + jnp.sum(occ.astype(jnp.float32)), any_ovf | ovf)
+
+                acc, any_ovf = lax.fori_loop(
+                    0, k, body, (0.0, jnp.zeros((), bool))
+                )
+                return acc + any_ovf.astype(jnp.float32)
+
+            ms_r, spr_r = _slope_stats(shadow_rev_loop, k_lo=1, k_hi=4, reps=5)
+            mrays_r = n_shadow / (ms_r * 1e-3) / 1e6
+            print(
+                f"shadow occlusion(reversed): {ms_r:.3f} ms (±{spr_r:.0f}%) "
+                f"for {n_shadow} live rays = {mrays_r:.1f} Mrays/s "
+                f"(target 50)",
+                file=sys.stderr,
+                flush=True,
+            )
+            occ_r, _cr, ovf_r = ray_sweep.shadow_occlusion(
+                rpack, spoints, live, light_j, tr, float(eps),
+                4096, 32768, 32, False,
+            )
+            check("shadow_rev_no_overflow", not bool(ovf_r))
+
+            # oracle verify (wavefront ignores tmax: cap its answer) on
+            # the same 64K slice — the wavefront engine at the full
+            # 830K-ray set is ~8 s and has crashed the TPU worker (stack
+            # memory); 64K spans many groups/cones, plenty to catch a
+            # wrong kernel.
             hit_s, _cs, ovf_s = ray_sweep._trace_impl(
-                rpack.tris_sorted, rpack.prim_ids, srays, tr,
-                1024, 16384, 32, 64, False,
+                rpack.tris_sorted, rpack.prim_ids, srays_v, tr,
+                4096, 24576, 32, 64, False,
             )
             check("shadow_no_overflow", not bool(ovf_s))
             hit_so, _ = traverse.traverse_packed(
-                packed, bvh.n_internal, bvh.root, srays, tr
+                packed, bvh.n_internal, bvh.root, srays_v, tr
             )
             ps = np.asarray(hit_s.prim_idx)
             ts = np.asarray(hit_s.t)
             po2 = np.asarray(hit_so.prim_idx)
             to2 = np.asarray(hit_so.t)
-            tmax_np = np.asarray(srays.tmax)
+            tmax_np = np.asarray(srays_v.tmax)
             occ = (po2 >= 0) & (to2 < tmax_np)
             # strict mask equality except inside the float-noise boundary
             # strips at t ~ 0 (grazing the origin surface) and t ~ tmax
@@ -788,10 +859,17 @@ def main() -> None:
                 if dmask.any() else True
             )
             check("shadow_matches_wavefront", same_found and t_ok and ties_ok)
+            # reversed path: boolean occlusion must match the same capped
+            # wavefront answer outside the boundary strips
+            occ_rev = np.asarray(occ_r)[:nv]
+            rev_ok = not ((occ_rev != occ) & ~boundary).any()
+            check("shadow_rev_matches_wavefront", rev_ok)
             print(
                 f"shadow verify: {int(both_s.sum())} occluded, prim match "
                 f"{int((both_s & (ps == po2)).sum())}/{int(both_s.sum())}, "
-                f"overflow={bool(ovf_s)}",
+                f"overflow={bool(ovf_s)}; reversed mask "
+                f"{int((occ_rev == occ).sum())}/{occ.shape[0]} "
+                f"overflow={bool(ovf_r)}",
                 file=sys.stderr,
                 flush=True,
             )

@@ -144,3 +144,49 @@ def test_overflow_flag_fires():
         packed, rays, tr, cand_cap=1, pair_cap=64, group=4, interpret=True,
     )
     assert bool(ovf)
+
+
+def test_shadow_occlusion_reversed():
+    """Reversed point-light occlusion equals the forward capped answer
+    (direction symmetry of segment occlusion)."""
+    bvh, tris, packed = _pack(scenes.cornellbox())
+    tr, cam = scenes.preset("cornellbox")
+    w = h = 48
+    prim_rays = camera.generate_rays(cam, w, h)
+    hit_p, _ = traverse.traverse_bvh2(
+        bvh, tris, prim_rays, tr, variant="speculative"
+    )
+    hitm = np.asarray(hit_p.prim_idx) >= 0
+    t = np.where(hitm, np.asarray(hit_p.t), 0.0)
+    o = np.asarray(prim_rays.origin) + np.asarray(prim_rays.direction) * t[:, None]
+    light = np.array([0.0, 0.9, 0.2], np.float32)
+    eps = 1e-3
+    occ, counts, ovf = ray_sweep.shadow_occlusion(
+        packed, jnp.asarray(o), jnp.asarray(hitm), jnp.asarray(light), tr,
+        eps, cand_cap=64, pair_cap=1024, group=4, interpret=True,
+    )
+    assert not bool(ovf)
+    # forward oracle with the same segment cap
+    dvec = light[None, :] - o
+    dist = np.linalg.norm(dvec, axis=1)
+    dirs = dvec / np.maximum(dist, 1e-9)[:, None]
+    frays = Rays(
+        origin=jnp.asarray(o + dirs * eps),
+        direction=jnp.asarray(dirs),
+        tmin=jnp.zeros((w * h,), jnp.float32),
+        tmax=jnp.asarray(np.where(hitm, dist - 2 * eps, -1.0).astype(np.float32)),
+    )
+    hit_o, _ = traverse.traverse_bvh2(
+        bvh, tris, frays, tr, variant="speculative"
+    )
+    to = np.asarray(hit_o.t)
+    po = np.asarray(hit_o.prim_idx)
+    tmax = np.asarray(frays.tmax)
+    occ_fwd = (po >= 0) & (to < tmax)
+    occ_np = np.asarray(occ)
+    # boundary strips (grazing either endpoint) may flip either way
+    to_safe = np.where(po >= 0, to, np.inf)
+    boundary = (np.abs(to_safe - tmax) < 10 * eps) | (to_safe < 10 * eps)
+    np.testing.assert_array_equal(occ_np[~boundary], occ_fwd[~boundary])
+    assert occ_np.any() and (~occ_np & hitm).any()  # both classes present
+    assert not occ_np[~hitm].any()  # dead rays never occluded

@@ -83,7 +83,9 @@ assert 9 <= S_LEN <= 33, "windows derived from S_LEN must fit the halos"
 
 _H = 256  # block halo; >= ownership(33) + state reach (64 + 100)
 # blk + 2*_H -> 128-aligned sublane strips; sized so the kernel's live
-# [8, s] intermediates fit VMEM (tunable for experiments)
+# [8, s] intermediates fit VMEM (tunable for experiments). Valid values
+# keep (blk + 2*_H) / 8 a multiple of 128 (strip view starts must stay
+# lane-aligned, see _HS): 1536, 3584, 5632, 7680, ...
 _BLK = int(os.environ.get("TBVH_COLLAPSE_BLK", "3584"))
 _DW = S_LEN  # child/leaf pull window
 _NOMATCH = -(2**30)  # label no target can equal

@@ -22,8 +22,10 @@ A treelet sweep is therefore ONE `dot_general([10, 6L], [10, 256])` — the
 same MXU cost as the raster's 4-channel fixed-eye version, because the MXU
 contracts 128 deep regardless. Everything else reuses the raster schedule:
 
-* rays are sorted once by (direction octant | origin Morton cell) into
-  coherent groups of 4096 (replacing the raster's screen tiles);
+* rays are sorted once by (origin Morton cell | direction Morton cell)
+  into coherent groups of 4096 (replacing the raster's screen tiles);
+  common-origin sets (`shadow_occlusion`'s reversed rays) degenerate to
+  pure direction sorting — tight cones from the shared origin;
 * group/subgroup culling uses `_obox_vs_aabb` — the cone test generalized
   from a point eye to the group's origin BOX;
 * (group, treelet) pairs ride the same sort-compacted flat pair list and
@@ -95,8 +97,8 @@ def _plucker_slabs(wt, prim_ids, leaf_size: int):
     return jnp.concatenate([slab, jnp.zeros((1, 10, 6 * L), F32)], axis=0)
 
 
-def _morton21(x, y, z):
-    """21-bit Morton interleave of 7-bit cell coords (plain u32 math)."""
+def _morton15(x, y, z):
+    """15-bit Morton interleave of 5-bit cell coords (plain u32 math)."""
     def spread(v):
         v = (v | (v << 8)) & 0x0300F00F
         v = (v | (v << 4)) & 0x030C30C3
@@ -106,20 +108,25 @@ def _morton21(x, y, z):
 
 
 def _ray_sort_key(o, d, omin, oext):
-    """Coherence key: direction octant (3 bits) over origin Morton cell
-    (21 bits). Rays sharing a key traverse near-identical treelet sets."""
-    oct_ = (
-        (d[:, 0] < 0).astype(jnp.uint32)
-        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
-    )
-    q = jnp.clip(((o - omin[None, :]) / oext[None, :]) * 128.0, 0.0, 127.0)
+    """Coherence key: origin Morton cell (15 bits, 32^3 cells) over
+    direction Morton cell (15 bits over [-1,1]^3 — sign planes land on
+    the top bit per axis, so octants separate first). Rays sharing a key
+    traverse near-identical treelet sets. The direction minor bits make
+    COMMON-ORIGIN sets (a pinhole at a light — the reversed-shadow fast
+    path) sort into tight cones: with the old octant-only direction key,
+    a point light's 256-ray subgroups spanned a whole octant and subgroup
+    culling kept 63% of pairs alive (measured sponza_like 512^2)."""
+    q = jnp.clip(((o - omin[None, :]) / oext[None, :]) * 32.0, 0.0, 31.0)
     q = q.astype(jnp.uint32)
-    return (oct_ << 21) | _morton21(q[:, 0], q[:, 1], q[:, 2])
+    qd = jnp.clip((d + 1.0) * 16.0, 0.0, 31.0).astype(jnp.uint32)
+    return (_morton15(q[:, 0], q[:, 1], q[:, 2]) << 15) | _morton15(
+        qd[:, 0], qd[:, 1], qd[:, 2]
+    )
 
 
 def _kernel(g_ct, g_first, p_tlb, p_bits, feats, slab,
-            out_t, out_p, out_u, out_v, out_c, tmax_s):
+            out_t, out_p, out_u, out_v, out_c, tmax_s,
+            occlusion: bool = False):
     from jax.experimental import pallas as pl
 
     g = pl.program_id(0)
@@ -148,7 +155,9 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, feats, slab,
         F = feats[0, 0:10, pl.ds(pl.multiple_of(s * RPT, RPT), RPT)]
         tmaxseg = feats[0, 10, pl.ds(pl.multiple_of(s * RPT, RPT), RPT)][None, :]
         tminseg = feats[0, 11, pl.ds(pl.multiple_of(s * RPT, RPT), RPT)][None, :]
-        cj = slab[j]  # [10, 6L]
+        # boolean queries never read the pid block: drop 1/6 of the
+        # contraction columns
+        cj = slab[j][:, : 5 * L] if occlusion else slab[j]  # [10, 5L|6L]
 
         # near-f32 via the bf16 split (hi*hi + lo*hi + hi*lo in ONE
         # contraction of depth 30 — see raster_tpu._kernel for why)
@@ -170,7 +179,7 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, feats, slab,
         wn = planes[2 * L : 3 * L, :]
         den = planes[3 * L : 4 * L, :]
         tn = planes[4 * L : 5 * L, :]
-        pidp = planes[5 * L : 6 * L, :]
+        pidp = None if occlusion else planes[5 * L : 6 * L, :]
         ok = (
             jnp.minimum(
                 jnp.minimum(un * den, vn * den), jnp.minimum(wn * den, tn * den)
@@ -181,6 +190,19 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, feats, slab,
         tp = jnp.where(ok, tn * inv, BIGF)
         tp = jnp.where((tp > tminseg) & (tp < tmaxseg), tp, BIGF)
         tmin = jnp.min(tp, axis=0, keepdims=True)  # [1, 256]
+        if occlusion:
+            # boolean query: any in-range hit kills the ray — record t = 0
+            # so the subgroup's occlusion bound collapses and later pairs
+            # (tlb >= 0) are skipped once every ray is occluded; the
+            # winner-extraction (argmin + u/v/pid mins, ~40% of the
+            # epilogue) is dropped entirely
+            acc_t = out_t[0, sr, sc]
+            hit_any = tmin < BIGF
+            new_t = jnp.where(hit_any, 0.0, acc_t)
+            out_t[0, sr, sc] = new_t
+            out_p[0, sr, sc] = jnp.where(hit_any, 0, out_p[0, sr, sc])
+            tmax_s[s] = jnp.max(jnp.minimum(new_t, tmaxseg))
+            return
         eq = tp == tmin
         win = jnp.min(jnp.where(eq, iota_l, L), axis=0, keepdims=True)
         eqw = eq & (iota_l == win)
@@ -197,7 +219,10 @@ def _kernel(g_ct, g_first, p_tlb, p_bits, feats, slab,
         out_p[0, sr, sc] = jnp.where(better, p_best, out_p[0, sr, sc])
         out_u[0, sr, sc] = jnp.where(better, u_best, out_u[0, sr, sc])
         out_v[0, sr, sc] = jnp.where(better, v_best, out_v[0, sr, sc])
-        tmax_s[s] = jnp.max(new_t)
+        # cap by the ray tmax: an unhit ray must bound the subgroup at its
+        # OWN reach, not BIG — without the min, one unhit ray disabled
+        # pair skipping for every finite-tmax workload (shadow segments)
+        tmax_s[s] = jnp.max(jnp.minimum(new_t, tmaxseg))
 
     for j in range(G):
         bits_j = p_bits[g * G + j]
@@ -230,28 +255,35 @@ def trace_rays(
     pair_cap: int = 16384,
     group: int = 32,
     interpret: bool = False,
+    occlusion: bool = False,
 ):
     """Closest-hit trace of an ARBITRARY ray set against a packed scene.
 
     Same results as `traverse.traverse_bvh2` (up to exact-t ties).
+    With `occlusion=True` the kernel answers the boolean query only
+    (prim_idx >= 0 means some in-range hit exists; t/u/v are not
+    meaningful) — cheaper epilogue and occluded subgroups stop sweeping.
     Returns (HitInfo in input ray order, counts u32[R] candidate-sweep
     heat-map, overflow bool[] — true when a group exceeded `cand_cap`
-    candidate treelets or the pair list overflowed `pair_cap`)."""
+    candidate treelets or the pair list overflowed `pair_cap`).
+    On overflow the OUTPUTS ARE UNDEFINED, not merely incomplete: pair
+    truncation can drop a whole ray group's pairs, leaving its output
+    block uninitialized device memory. Always gate on the flag."""
     return _trace_impl(
         scene.tris_sorted, scene.prim_ids, rays, tr,
-        cand_cap, pair_cap, group, scene.leaf_size, interpret,
+        cand_cap, pair_cap, group, scene.leaf_size, interpret, occlusion,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("cand_cap", "pair_cap", "group", "leaf_size",
-                     "interpret"),
+                     "interpret", "occlusion"),
 )
 def _trace_impl(
     tris_sorted, prim_ids, rays: Rays, tr: Transformation,
     cand_cap: int, pair_cap: int, group: int, leaf_size: int,
-    interpret: bool,
+    interpret: bool, occlusion: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -386,7 +418,7 @@ def _trace_impl(
         ],
     )
     out_t, out_p, out_u, out_v, out_c = pl.pallas_call(
-        _kernel,
+        partial(_kernel, occlusion=occlusion),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -401,23 +433,27 @@ def _trace_impl(
     v = flat(out_v)
     counts = flat(out_c)
 
-    # ---- back to input ray order: one lane-dim scatter at rid ----
-    rows = jnp.stack(
-        [
+    # ---- back to input ray order: ONE sort keyed by rid (rids is a
+    # permutation, so sorting by it IS the inverse permutation). An
+    # 8-channel 262K lax.sort measures ~0.3 ms on v5e while the previous
+    # [5, R] lane-dim scatter at R indices measured ~2.5 ms.
+    _, t_i, prim, u_i, v_i, counts = lax.sort(
+        (
+            rids.astype(jnp.uint32),
             lax.bitcast_convert_type(t, I32),
             prim,
             lax.bitcast_convert_type(u, I32),
             lax.bitcast_convert_type(v, I32),
             counts,
-        ],
-        axis=0,
+        ),
+        num_keys=1,
+        is_stable=False,
     )
-    unperm = jnp.zeros((5, Rp), I32).at[:, rids].set(rows, mode="drop")
-    t = lax.bitcast_convert_type(unperm[0], F32)[:R_in]
-    prim = unperm[1][:R_in]
-    u = lax.bitcast_convert_type(unperm[2], F32)[:R_in]
-    v = lax.bitcast_convert_type(unperm[3], F32)[:R_in]
-    counts = unperm[4][:R_in].astype(jnp.uint32)
+    t = lax.bitcast_convert_type(t_i, F32)[:R_in]
+    prim = prim[:R_in]
+    u = lax.bitcast_convert_type(u_i, F32)[:R_in]
+    v = lax.bitcast_convert_type(v_i, F32)[:R_in]
+    counts = counts[:R_in].astype(jnp.uint32)
 
     miss = (prim < 0) | (t >= BIG)
     hit = HitInfo(
@@ -427,3 +463,52 @@ def _trace_impl(
         v=jnp.where(miss, 0.0, v),
     )
     return hit, counts, overflow
+
+
+def shadow_occlusion(
+    scene: R.RasterScene,
+    points,
+    live,
+    light,
+    tr: Transformation,
+    eps: float,
+    cand_cap: int = 512,
+    pair_cap: int = 8192,
+    group: int = 32,
+    interpret: bool = False,
+):
+    """Point-light occlusion for surface points — the REVERSED fast path.
+
+    Traces light->point rays (instead of point->light) through the same
+    sweep engine: a common origin collapses every group's origin box to a
+    point, so `_obox_vs_aabb` degenerates to an exact cone test, and the
+    direction-minor sort key groups rays into tight cones from the light
+    (the shadow analog of the raster engine's eye-tile coherence; the
+    reference has no occlusion-query specialization at all — its shadow
+    rays would run the same per-thread kernels,
+    `/root/reference/src/TraversalKernel.h:337-451`).
+
+    Occlusion is direction-symmetric: the reversed ray covers the same
+    world segment [point + eps*l, light - eps*l] (l = unit point->light),
+    so the boolean answer equals the forward query's.
+
+    points: f32[N, 3] surface points (world space). live: bool[N] — dead
+    entries cost nothing (tmax = -1 culls them from every pair).
+    light: f32[3]. eps: endpoint offset in world units.
+    Returns (occluded bool[N], counts u32[N], overflow bool[]).
+    """
+    n = points.shape[0]
+    dvec = points - light[None, :]
+    dist = jnp.linalg.norm(dvec, axis=1)
+    d = dvec / jnp.maximum(dist, 1e-9)[:, None]
+    rays = Rays(
+        origin=jnp.broadcast_to(light, (n, 3)),
+        direction=d,
+        tmin=jnp.full((n,), eps, F32),
+        tmax=jnp.where(live, dist - eps, -1.0),
+    )
+    hit, counts, overflow = trace_rays(
+        scene, rays, tr, cand_cap, pair_cap, group, interpret,
+        occlusion=True,
+    )
+    return (hit.prim_idx >= 0) & live, counts, overflow
