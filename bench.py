@@ -196,7 +196,7 @@ def _phase_table(tris):
 
     def mk_extents(k):
         def body(i, acc):
-            t = tris + i.astype(jnp.float32) * 1e-7
+            t = tris * (1.0 + i.astype(jnp.float32) * 3e-7)
             mnx, mny, mnz, mxx, mxy, mxz = tri_cols(t)
             smin = jnp.stack([jnp.min(mnx), jnp.min(mny), jnp.min(mnz)])
             smax = jnp.stack([jnp.max(mxx), jnp.max(mxy), jnp.max(mxz)])
@@ -239,7 +239,7 @@ def _phase_table(tris):
 
     def mk_front(k):
         def body(i, acc):
-            t = tris + i.astype(jnp.float32) * 1e-7
+            t = tris * (1.0 + i.astype(jnp.float32) * 3e-7)
             c, lpk, lp = lbvh._sorted_leaves_from_tris(t, True)
             return (acc + c[0].astype(jnp.float32) + lpk[0, 0]
                     + lp[0].astype(jnp.float32))
@@ -293,7 +293,7 @@ def main() -> None:
         for name, build in builders.items():
             def build_loop(k, build=build, t_scene=t_scene):
                 def body(i, acc):
-                    t = t_scene + (i.astype(jnp.float32) * 1e-7)
+                    t = t_scene * (1.0 + i.astype(jnp.float32) * 3e-7)
                     bvh = build(t)
                     return acc + bvh.packed_t[0, 0] + bvh.left[0].astype(jnp.float32)
                 return lax.fori_loop(0, k, body, 0.0)
@@ -428,7 +428,7 @@ def main() -> None:
             def collapse_loop(k):
                 def body(i, acc):
                     b = bvh0._replace(
-                        packed_t=bvh0.packed_t + i.astype(jnp.float32) * 1e-7
+                        packed_t=bvh0.packed_t * (1.0 + i.astype(jnp.float32) * 3e-7)
                     )
                     wide = collapse_lbvh_to_bvh4(b, parent0, first0, last0)
                     # consume EVERY output family so nothing is DCE'd out
@@ -562,7 +562,7 @@ def main() -> None:
 
             def batched_loop(k):
                 def body(i, acc):
-                    t = tris_b + (i.astype(jnp.float32) * 1e-7)
+                    t = tris_b * (1.0 + i.astype(jnp.float32) * 3e-7)
                     b = batched.build_batched(t)
                     return acc + b.packed_t[0, 0, 0] + b.left[0, 0].astype(jnp.float32)
 
@@ -766,7 +766,7 @@ def main() -> None:
                 def body(i, carry):
                     acc, any_ovf = carry
                     r2 = srays_v._replace(
-                        origin=srays_v.origin + i.astype(jnp.float32) * 1e-6
+                        origin=srays_v.origin * (1.0 + i.astype(jnp.float32) * 3e-7)
                     )
                     hit, _c, ovf = ray_sweep._trace_impl(
                         rpack.tris_sorted, rpack.prim_ids, r2, tr,
@@ -799,7 +799,7 @@ def main() -> None:
                     acc, any_ovf = carry
                     occ, _c, ovf = ray_sweep.shadow_occlusion(
                         rpack,
-                        spoints + i.astype(jnp.float32) * 1e-6,
+                        spoints * (1.0 + i.astype(jnp.float32) * 3e-7),
                         live, light_j, tr, float(eps),
                         4096, 32768, 32, False,
                     )
@@ -894,7 +894,7 @@ def main() -> None:
             def wavefront_loop(k):
                 def body(i, acc):
                     r2 = rays._replace(
-                        origin=rays.origin + i.astype(jnp.float32) * 1e-6
+                        origin=rays.origin * (1.0 + i.astype(jnp.float32) * 3e-7)
                     )
                     hit, _ = traverse.traverse_packed(packed, ni, root, r2, tr)
                     return acc + hit.t[0]

@@ -50,7 +50,7 @@ dlt, first, last, psv_val, nsv_val, psv, lc, rc = jax.block_until_ready(
     _topology_scans(codes_s.astype(jnp.uint32).astype(jnp.int32)))
 def mk_refit(k):
     def body(i, acc):
-        pt = leaf_packed + i.astype(jnp.float32) * 1e-9
+        pt = leaf_packed * (1.0 + i.astype(jnp.float32) * 3e-7)
         out = refit.refit_anchored_packed(pt, first, last)
         return acc + out[0, 0]
     return lax.fori_loop(0, k, body, jnp.float32(0))
@@ -69,7 +69,7 @@ print(f"apetrei_build_packed_full : {slope(mk_build):7.3f} ms", flush=True)
 def mk_front(k):
     def body(i, acc):
         c, lpk, lp = lbvh._sorted_leaves_from_tris(
-            tris + i.astype(jnp.float32) * 1e-7, True)
+            tris * (1.0 + i.astype(jnp.float32) * 3e-7), True)
         return acc + c[0].astype(jnp.float32) + lpk[0, 0]
     return lax.fori_loop(0, k, body, jnp.float32(0))
 print(f"front (ext+morton+sort)   : {slope(mk_front):7.3f} ms", flush=True)
@@ -77,7 +77,7 @@ print(f"front (ext+morton+sort)   : {slope(mk_front):7.3f} ms", flush=True)
 # end-to-end single pass
 def mk_e2e(k):
     def body(i, acc):
-        b = lbvh.build_single_pass(tris + i.astype(jnp.float32) * 1e-9)
+        b = lbvh.build_single_pass(tris * (1.0 + i.astype(jnp.float32) * 3e-7))
         return acc + b.packed_t[0, 0]
     return lax.fori_loop(0, k, body, jnp.float32(0))
 print(f"build_single_pass e2e     : {slope(mk_e2e, k_hi=5):7.3f} ms", flush=True)

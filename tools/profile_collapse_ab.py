@@ -56,7 +56,7 @@ try:
         def loop(k):
             def body(i, acc):
                 b = bvh._replace(
-                    packed_t=bvh.packed_t + i.astype(jnp.float32) * 1e-7
+                    packed_t=bvh.packed_t * (1.0 + i.astype(jnp.float32) * 3e-7)
                 )
                 w = mod.collapse_lbvh_to_bvh4(b, parent, first, last)
                 return acc + consume(w)

@@ -70,7 +70,7 @@ for v in variants:
         def loop(k):
             def body(i, acc):
                 b = bvh._replace(
-                    packed_t=bvh.packed_t + i.astype(jnp.float32) * 1e-7
+                    packed_t=bvh.packed_t * (1.0 + i.astype(jnp.float32) * 3e-7)
                 )
                 w = CF.collapse_lbvh_to_bvh4.__wrapped__(
                     b, parent, first, last

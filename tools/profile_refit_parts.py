@@ -57,7 +57,7 @@ for R in (16, 24, 32, 48):
 for R in (24, 32, 48, 64):
     def mk(k, R=R):
         def body(i, acc):
-            pt = leaf_packed + i.astype(jnp.float32) * 1e-9
+            pt = leaf_packed * (1.0 + i.astype(jnp.float32) * 3e-7)
             out = refit.refit_anchored_packed(pt, first, last, radius=R)
             return acc + out[0, 0]
         return lax.fori_loop(0, k, body, jnp.float32(0))

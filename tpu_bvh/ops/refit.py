@@ -89,15 +89,18 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
     fits in (i-radius, i+radius] is resolved by a blocked stencil kernel
     (dense masked shifted unions) — the overwhelming majority in Morton
     order. The rare long-range nodes are compacted to the front with one
-    stable sort and resolved with two *small* table gathers; a `lax.cond`
-    falls back to the full-gather path if they overflow the static budget
-    (degenerate caterpillar scenes). Everything is deterministic.
+    stable sort and resolved with two *small* table gathers. Degenerate
+    scenes whose long count overflows the static budget (caterpillar
+    Morton runs) dispatch at the TOP to an exact full-table path — the
+    dispatch sits before any heavy compute so the cond's operands are
+    just the inputs (a cond placed after the shared pipeline measured
+    ~0.6 ms of boundary cost on v5e regardless of branch taken).
+    Everything is deterministic.
     """
     n = packed_t.shape[1]
     m = first.shape[0]
     assert m == n - 1, "boundary-ordered refit requires one node per boundary"
     assert m < (1 << 22), "long-path key packs positions in 22 bits"
-    big = jnp.float32(3.0e38)
     from ..utils.platform import on_tpu
     import os
 
@@ -116,6 +119,34 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
         # per-shift HBM round-trips, so it stays narrower still
         radius = 24 if use_pallas else 16
     assert radius >= 15, "packed path requires radius >= 15 (level-4 windows)"
+
+    # long-node budget: #nodes with range length > L is ~2n/L in Morton
+    # order (measured sponza 262K: 15.8K at R=16, 5.1K at R=48), so size
+    # the static gather width to the radius with ~2x headroom
+    cap = min(m, max(64, (4 * m) // (3 * radius)))
+    i = jnp.arange(m, dtype=I32)
+    short0 = (i - first < radius) & (last - i <= radius)
+    n_long = m - jnp.sum(short0.astype(I32))
+    if cap >= m:
+        return _refit_anchored_fast(
+            packed_t, first, last, radius, cap, use_pallas
+        )
+    return lax.cond(
+        n_long <= cap,
+        lambda: _refit_anchored_fast(
+            packed_t, first, last, radius, cap, use_pallas
+        ),
+        lambda: _refit_full_table(packed_t, first, last),
+    )
+
+
+def _refit_anchored_fast(packed_t, first, last, radius: int, cap: int,
+                         use_pallas: bool):
+    """The common path of `refit_anchored_packed`; exact whenever the
+    long-node count fits `cap` (guaranteed by the caller's dispatch)."""
+    n = packed_t.shape[1]
+    m = first.shape[0]
+    big = jnp.float32(3.0e38)
     i = jnp.arange(m, dtype=I32)
 
     if use_pallas:
@@ -192,11 +223,6 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
         ctabs.append(ccur)
     table_t = jnp.concatenate(ctabs, axis=1)  # [6, X]: [T4 | coarse lvls]
 
-    # long-node budget: #nodes with range length > L is ~2n/L in Morton
-    # order (measured sponza 262K: 15.8K at R=16, 5.1K at R=48), so size
-    # the static gather width to the radius with ~2x headroom; the
-    # full-gather cond below still catches degenerate overflows
-    cap = min(m, max(64, (4 * m) // (3 * radius)))
     n_long = jnp.sum((~short).astype(I32))
 
     def query(cf, cl):
@@ -221,9 +247,9 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
     # the sort as payload, so after blending the table answers over the
     # first cap columns a second sort keyed by position is the whole
     # place-back. A cap-column scatter measured 0.72 ms on v5e; the two
-    # payload sorts together are ~0.6 and replace scatter + select. Only
-    # the rare overflow fixup (degenerate caterpillar scenes:
-    # n_long > cap) sits under a cond, re-querying all m nodes.
+    # payload sorts together are ~0.6 and replace scatter + select.
+    # (Degenerate overflow is impossible here: the caller dispatched on
+    # n_long <= cap before any of this ran.)
     key = (short.astype(jnp.uint32) << 22) | i.astype(jnp.uint32)
     as_ib = lambda x: lax.bitcast_convert_type(x, I32)
     as_fb = lambda x: lax.bitcast_convert_type(x, jnp.float32)
@@ -238,29 +264,44 @@ def refit_anchored_packed(packed_t, first, last, radius: int | None = None):
     ut = query(cfq[:cap], clq[:cap])  # [6, cap]
     rank_c = jnp.arange(cap, dtype=I32)
 
-    def place(_):
-        # blend the table answers over the long ranks, then one sort by
-        # position restores node order — payload rows are i32 bit views
-        # (int bits in f32 rows are denormals, flushed by XLA:TPU fusions)
-        blend = rank_c < n_long
-        full = [
-            jnp.concatenate(
-                [jnp.where(blend, as_ib(ut[k]), p[:cap]), p[cap:]]
-            )
-            for k, p in enumerate((p0, p1, p2, p3, p4, p5))
-        ]
-        out = lax.sort((skey & ((1 << 22) - 1), *full), num_keys=1,
-                       is_stable=False)
-        return jnp.stack([as_fb(o) for o in out[1:]], axis=0)
-
-    def full_path(_):
-        # overflow fallback: four m-wide lane gathers — slow but exact
-        utf = query(first, last)
-        return jnp.stack(
-            [jnp.where(short, accm[k], utf[k]) for k in range(6)], axis=0
+    # blend the table answers over the long ranks, then one sort by
+    # position restores node order — payload rows are i32 bit views
+    # (int bits in f32 rows are denormals, flushed by XLA:TPU fusions)
+    blend = rank_c < n_long
+    full = [
+        jnp.concatenate(
+            [jnp.where(blend, as_ib(ut[k]), p[:cap]), p[cap:]]
         )
+        for k, p in enumerate((p0, p1, p2, p3, p4, p5))
+    ]
+    out = lax.sort((skey & ((1 << 22) - 1), *full), num_keys=1,
+                   is_stable=False)
+    return jnp.stack([as_fb(o) for o in out[1:]], axis=0)  # [6, m]
 
-    return lax.cond(n_long <= cap, place, full_path, None)  # [6, m]
+
+def _refit_full_table(packed_t, first, last):
+    """Exact full-table fallback for degenerate scenes (n_long > cap —
+    caterpillar Morton runs): a complete binary-lifting table over the
+    leaf columns + one two-gather query per node. ~4 m-wide lane gathers;
+    never taken on realistic Morton distributions."""
+    n = packed_t.shape[1]
+    m = first.shape[0]
+    levels = max(1, math.ceil(math.log2(max(n, 2))))
+    tabs = [packed_t]
+    cur = packed_t
+    for k in range(1, levels + 1):
+        s = 1 << (k - 1)
+        if s < n:
+            shifted = jnp.concatenate(
+                [cur[:, s:], jnp.broadcast_to(cur[:, -1:], (6, s))], axis=1
+            )
+            cur = jnp.minimum(cur, shifted)
+        tabs.append(cur)
+    table_t = jnp.concatenate(tabs, axis=1)  # [6, (levels+1)*n]
+    length = last - first + 1
+    k = _floor_log2(length)
+    b = jnp.maximum(last - (1 << k) + 1, 0)
+    return jnp.minimum(table_t[:, k * n + first], table_t[:, k * n + b])
 
 
 def refit_ranges(leaf_min, leaf_max, first, last):
