@@ -232,9 +232,9 @@ def _phase_table(tris):
         def body(i, acc):
             c = codes0 + i.astype(jnp.uint32)
             out = tsort.sort_with_payload(
-                c, (mnx, mny, mnz, mxx, mxy, mxz, prim_idx)
+                c, (prim_idx, mnx, mny, mnz, mxx, mxy, mxz)
             )
-            return acc + out[0][0].astype(jnp.float32) + out[1][0][0]
+            return acc + out[0][0].astype(jnp.float32) + out[1][1][0]
         return lax.fori_loop(0, k, body, 0.0)
 
     def mk_front(k):
@@ -646,7 +646,7 @@ def main() -> None:
                         )
                         hit, _c, ovf = raster_tpu._render_tpu_impl(
                             rpack.tris_sorted, rpack.prim_ids, r2, tr,
-                            wf, hf, 1024, 4096, 32, 64, False,
+                            wf, hf, 1024, 8192, 32, 64, False,
                         )
                         return (acc + hit.t[0] + hit.u[1], any_ovf | ovf)
 
@@ -663,6 +663,16 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
+                # r3/r4 published 395-520 Mrays/s at 1080p from a pair
+                # list that could not even hold the per-tile init groups
+                # (506*32 > 4096): structural overflow, uninitialized
+                # output tiles, hit counts varying 199K-847K run to run.
+                # The overflow flag now gates the row.
+                _hf, _cf2, ovf_f = raster_tpu._render_tpu_impl(
+                    rpack.tris_sorted, rpack.prim_ids, rays_f, tr,
+                    wf, hf, 1024, 8192, 32, 64, False,
+                )
+                check("raster_1080p_no_overflow", not bool(ovf_f))
 
             # overflow + wavefront cross-check at the bench's exact pair budget
             hit_k, _ck, ovf = raster_tpu._render_tpu_impl(
@@ -727,10 +737,11 @@ def main() -> None:
             # dead (tmax = -1) and cost nothing.
             wf2, hf2 = 1920, 1080
             rays_sf = camera.generate_rays(cam, wf2, hf2)
-            hit_f, _cf, _of = raster_tpu._render_tpu_impl(
+            hit_f, _cf, ovf_sf = raster_tpu._render_tpu_impl(
                 rpack.tris_sorted, rpack.prim_ids, rays_sf, tr,
-                wf2, hf2, 1024, 4096, 32, 64, False,
+                wf2, hf2, 1024, 8192, 32, 64, False,
             )
+            check("shadow_primary_no_overflow", not bool(ovf_sf))
             live_f = np.asarray(hit_f.prim_idx) >= 0
             idx_live = np.where(live_f)[0]
             n_shadow = int(idx_live.size)

@@ -88,14 +88,17 @@ def _sorted_leaves_cols(mnx, mny, mnz, mxx, mxy, mxz, prim_idx, use_extended):
         codes = morton.extended_morton30_cols(nx, ny, nz, ext)
     else:
         codes = morton.morton30_cols(nx, ny, nz)
-    ops = (codes, mnx, mny, mnz, -mxx, -mxy, -mxz, prim_idx)
-    # unstable: 3-4x faster than stable on v5e (see ops/sort.py); code
-    # ties land in arbitrary order, which the index-augmented deltas
-    # absorb (any tie permutation is an equally valid tree)
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    # total-order sort on (code, prim_idx): prim_idx is the ORIGINAL
+    # index, so this reproduces the stable-by-code order byte-for-byte
+    # (the canonical leaf order every distributed reimplementation is
+    # tested bit-identical against) while staying on lax.sort's fast
+    # unstable network — on v5e at 262K: stable 0.24 ms, unstable 1-key
+    # 0.12, unstable 2-key 0.19 (see ops/sort.py)
+    ops = (codes, prim_idx, mnx, mny, mnz, -mxx, -mxy, -mxz)
+    out = jax.lax.sort(ops, num_keys=2, is_stable=False)
     sorted_codes = out[0]
-    leaf_packed_t = jnp.stack(out[1:7], axis=0)  # [6, n] major-dim stack
-    leaf_prim = out[7]
+    leaf_packed_t = jnp.stack(out[2:8], axis=0)  # [6, n] major-dim stack
+    leaf_prim = out[1]
     return sorted_codes, leaf_packed_t, leaf_prim
 
 

@@ -256,7 +256,15 @@ def _prepare_pairs(eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, group):
 def _compact_pairs(possible, t_lb, n_ct, cand_cap, pair_cap, group):
     """[CT, T] candidate mask + conservative entry-t -> flat padded pair
     list in per-row front-to-back order (shared by the raster and
-    general-ray sweep engines; compaction by sorts, never scatters)."""
+    general-ray sweep engines; compaction by sorts, never scatters).
+
+    Returns (p_tid, p_tlb, g_ct, g_first, empty_ct bool[CT], overflow).
+    Tiles with ZERO candidates get NO pair slots at all — their output
+    blocks are never visited, so the CALLER must overwrite them with
+    miss values (`empty_ct`). Before r5 every tile carried a mandatory
+    init group, which made overflow STRUCTURAL whenever
+    n_ct * group > pair_cap — at 1080p (506 tiles * 32 > 4096) the row
+    had been silently rendering from uninitialized output blocks."""
     nt = possible.shape[1]
     key = jnp.where(possible, t_lb, BIG)
     tid = jnp.broadcast_to(jnp.arange(nt, dtype=I32)[None, :], key.shape)
@@ -278,10 +286,8 @@ def _compact_pairs(possible, t_lb, n_ct, cand_cap, pair_cap, group):
         )
         tlb = jnp.concatenate([tlb, jnp.full((n_ct, fill), BIG, F32)], axis=1)
 
-    # groups of G per coarse tile, at least one group each
-    pc = jnp.maximum(
-        ((jnp.minimum(counts, cc) + group - 1) // group) * group, group
-    )
+    # groups of G per coarse tile; tiles without candidates get none
+    pc = ((jnp.minimum(counts, cc) + group - 1) // group) * group
     off = jnp.concatenate([jnp.zeros((1,), I32), jnp.cumsum(pc)[:-1]])
     total = off[-1] + pc[-1]
     overflow = (total > pair_cap) | jnp.any(counts > cand_cap)
@@ -317,7 +323,7 @@ def _compact_pairs(possible, t_lb, n_ct, cand_cap, pair_cap, group):
     g_ct = p_ct.reshape(-1, group)[:, 0]
     g_prev = jnp.concatenate([jnp.full((1,), -1, I32), g_ct[:-1]])
     g_first = (g_ct != g_prev).astype(I32)
-    return p_tid, p_tlb, g_ct, g_first, overflow
+    return p_tid, p_tlb, g_ct, g_first, counts == 0, overflow
 
 
 def render_raster_tpu(
@@ -411,7 +417,7 @@ def _render_tpu_impl(
     )  # [CT, 4096, 3]
     dirs_ct = dirs_ct.transpose(0, 2, 1)  # [CT, 3, 4096]
 
-    p_tid, p_tlb, g_ct, g_first, overflow = _prepare_pairs(
+    p_tid, p_tlb, g_ct, g_first, empty_ct, overflow = _prepare_pairs(
         eye, dirs_ct, bmin, bmax, n_ct, cand_cap, pair_cap, G
     )
 
@@ -487,6 +493,15 @@ def _render_tpu_impl(
         interpret=interpret,
     )(g_ct, g_first, p_tlb, p_bits, dirs_ct, pair_slab)
 
+    # tiles with zero candidate pairs never get a kernel visit: their
+    # output blocks are raw allocations — patch them to miss here (the
+    # in-kernel init now only runs for visited tiles)
+    e3 = empty_ct[:, None, None]
+    out_t = jnp.where(e3, BIG, out_t)
+    out_p = jnp.where(e3, -1, out_p)
+    out_u = jnp.where(e3, 0.0, out_u)
+    out_v = jnp.where(e3, 0.0, out_v)
+    out_c = jnp.where(e3, 0, out_c)
     flat = lambda x: _from_coarse_layout(
         x.reshape(n_ct, RPC)[:, :, None], width, height
     )[:, 0]

@@ -347,7 +347,7 @@ def _trace_impl(
     gtmax = gstat(tmx, jnp.max, 1)  # [CT]
     possible = possible & (t_lb <= gtmax[:, None])
 
-    p_tid, p_tlb, g_ct, g_first, overflow = _compact_pairs(
+    p_tid, p_tlb, g_ct, g_first, empty_ct, overflow = _compact_pairs(
         possible, t_lb, n_ct, cand_cap, pair_cap, G
     )
 
@@ -424,6 +424,14 @@ def _trace_impl(
         interpret=interpret,
     )(g_ct, g_first, p_tlb, p_bits, feats, pair_slab)
 
+    # groups with zero candidate pairs never get a kernel visit — patch
+    # their raw output blocks to miss before unpermuting
+    e3 = empty_ct[:, None, None]
+    out_t = jnp.where(e3, BIG, out_t)
+    out_p = jnp.where(e3, -1, out_p)
+    out_u = jnp.where(e3, 0.0, out_u)
+    out_v = jnp.where(e3, 0.0, out_v)
+    out_c = jnp.where(e3, 0, out_c)
     # [CT, 8, 512] rows are (subgroup pairs): flat index == sorted ray
     # order by construction (s//2, s%2, within) == s*RPT + within
     flat = lambda x: x.reshape(Rp)

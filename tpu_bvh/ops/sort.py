@@ -2,15 +2,13 @@
 
 Replaces the vendored `Oro::RadixSort` (usage at
 `/root/reference/src/TwoPassLbvh.cpp:73-89`). `lax.sort` lowers to XLA's
-on-device sort network; UNSTABLE, which measures 3-4x faster than stable
-on v5e at 262K (stability adds a hidden index channel + tie handling,
-0.16-0.25 -> 0.04-0.13 ms, and channel count barely matters). Ties in
-the 30-bit codes land in arbitrary-but-deterministic order; every
-consumer handles that: the radix-tree deltas break code ties by SORTED
-POSITION (`radix_tree.delta_at`), so any tie permutation yields an
-equally valid (marginally different) tree, exactly like the reference's
-vendored GPU radix sort whose tie order is also position-based on the
-device layout.
+on-device sort network, run UNSTABLE over the total key
+(code, original index): stability is the expensive part of lax.sort on
+v5e (stable 1-key 0.24 ms at 262K vs unstable 1-key 0.12, unstable
+2-key 0.19), and because the index tiebreak is unique, the 2-key
+unstable sort reproduces the stable-by-code order byte-for-byte — the
+canonical leaf order the sharded and batched reimplementations are
+tested bit-identical against.
 """
 from __future__ import annotations
 
@@ -19,16 +17,20 @@ from jax import lax
 
 
 def sort_pairs(codes, values):
-    """Ascending key-value sort. codes: u32[n], values: i32[n]."""
-    return lax.sort_key_val(codes, values, is_stable=False)
+    """Ascending key-value sort by (codes, values) — total order when
+    `values` are unique (prim indices). codes: u32[n], values: i32[n]."""
+    out = lax.sort((codes, values), num_keys=2, is_stable=False)
+    return out[0], out[1]
 
 
 def sort_with_payload(codes, payload):
-    """Ascending sort of `codes` carrying a tuple of payload arrays.
+    """Ascending sort of `codes` carrying a tuple of payload arrays;
+    payload[0] must be a unique index channel — it is the tiebreak key,
+    making the order the canonical (code, index) total order.
 
     Returns (sorted_codes, tuple(sorted_payload)). The build front end's
     sort phase (`/root/reference/src/TwoPassLbvh.cpp:73-89` sorts
     (mortonKey, primIdx); here the leaf AABB columns ride along so the
     post-sort gather disappears)."""
-    out = lax.sort((codes, *payload), num_keys=1, is_stable=False)
+    out = lax.sort((codes, *payload), num_keys=2, is_stable=False)
     return out[0], tuple(out[1:])
