@@ -768,10 +768,16 @@ def main() -> None:
             )
 
             # the general (closest-hit, arbitrary-origin) row runs on a
-            # 64K slice — full-set forward tracing is ~115 ms/iter and the
-            # row's job is to price the GENERAL engine, not the workload
-            nv = min(65536, int(srays.origin.shape[0]))
-            srays_v = _Rays(*(f[:nv] for f in srays))
+            # 64K STRIDED slice (a prefix once sampled 0 occluded rays —
+            # a trivially-passing verify); full-set forward tracing is
+            # ~115 ms/iter and the row's job is to price the GENERAL
+            # engine, not the workload
+            n_all = int(srays.origin.shape[0])
+            nv = min(65536, n_all)
+            vsel = jnp.asarray(
+                np.linspace(0, n_all - 1, nv).astype(np.int32)
+            )
+            srays_v = _Rays(*(f[vsel] for f in srays))
 
             def shadow_loop(k):
                 def body(i, carry):
@@ -866,13 +872,13 @@ def main() -> None:
             t_ok = np.allclose(ts[both_s], to2[both_s], rtol=1e-3, atol=1e-3)
             dmask = both_s & (ps != po2)
             ties_ok = (
-                np.allclose(ts[dmask], to2[dmask], rtol=1e-3)
+                np.allclose(ts[dmask], to2[dmask], rtol=1e-3, atol=1e-3)
                 if dmask.any() else True
             )
             check("shadow_matches_wavefront", same_found and t_ok and ties_ok)
             # reversed path: boolean occlusion must match the same capped
             # wavefront answer outside the boundary strips
-            occ_rev = np.asarray(occ_r)[:nv]
+            occ_rev = np.asarray(occ_r)[np.asarray(vsel)]
             rev_ok = not ((occ_rev != occ) & ~boundary).any()
             check("shadow_rev_matches_wavefront", rev_ok)
             print(
